@@ -1,0 +1,44 @@
+"""forma-tpu: a TPU-native 2D vector-graphics renderer.
+
+A from-scratch rebuild of google/forma's capabilities on JAX/XLA/Pallas:
+the same composition model and rendering semantics, re-designed as
+fixed-shape array programs for TPU hardware.
+
+Pipeline (README.md:27-38 of the reference):
+
+    Bezier curves --flatten--> line segments --rasterize--> pixel segments
+                 --sort (tile, layer)--> sorted segments --paint--> tiles
+"""
+
+from .buffer import (  # noqa: F401
+    BGR0,
+    BGR1,
+    BGRA,
+    RGB0,
+    RGB1,
+    RGBA,
+    Buffer,
+    BufferLayerCache,
+    Channel,
+    LinearLayout,
+    Rect,
+)
+from .composition import Composition, GeomId, Layer, Order, OrderError  # noqa: F401
+from .math import AffineTransform, GeomPresTransform, Point  # noqa: F401
+from .path import Path, PathBuilder  # noqa: F401
+from .styling import (  # noqa: F401
+    BlendMode,
+    Color,
+    Fill,
+    FillRule,
+    Func,
+    Gradient,
+    GradientBuilder,
+    GradientType,
+    Image,
+    Props,
+    Style,
+    Texture,
+)
+
+__version__ = "0.1.0"

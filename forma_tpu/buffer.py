@@ -1,0 +1,114 @@
+"""Output buffer descriptions: channel mappings and layouts.
+
+Mirrors `forma/src/cpu/{channel.rs,buffer/}`.  A `Channel` names which source
+channel (or constant) lands in each output byte; `LinearLayout` describes a
+strided linear buffer.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+
+class Channel(enum.Enum):
+    Red = 0
+    Green = 1
+    Blue = 2
+    Alpha = 3
+    Zero = 4
+    One = 5
+
+    def select(self, r, g, b, a):
+        if self is Channel.Red:
+            return r
+        if self is Channel.Green:
+            return g
+        if self is Channel.Blue:
+            return b
+        if self is Channel.Alpha:
+            return a
+        if self is Channel.Zero:
+            return np.zeros_like(r)
+        return np.ones_like(r)
+
+
+RGBA = (Channel.Red, Channel.Green, Channel.Blue, Channel.Alpha)
+BGRA = (Channel.Blue, Channel.Green, Channel.Red, Channel.Alpha)
+RGB0 = (Channel.Red, Channel.Green, Channel.Blue, Channel.Zero)
+BGR0 = (Channel.Blue, Channel.Green, Channel.Red, Channel.Zero)
+RGB1 = (Channel.Red, Channel.Green, Channel.Blue, Channel.One)
+BGR1 = (Channel.Blue, Channel.Green, Channel.Red, Channel.One)
+
+
+@dataclass
+class Rect:
+    """Crop rectangle, approximated to the tile grid
+    (`forma/src/cpu/renderer.rs:38-53`)."""
+
+    hor: range
+    vert: range
+
+    @staticmethod
+    def new(horizontal: range, vertical: range) -> "Rect":
+        from . import consts
+
+        tw, th = consts.TILE_WIDTH, consts.TILE_HEIGHT
+        return Rect(
+            hor=range(horizontal.start // tw, -(-horizontal.stop // tw)),
+            vert=range(vertical.start // th, -(-vertical.stop // th)),
+        )
+
+
+class LinearLayout:
+    """Linear RGBA-strided buffer layout
+    (`forma/src/cpu/buffer/layout/mod.rs:167-296`)."""
+
+    def __init__(self, width: int, width_stride: int, height: int):
+        assert width * 4 <= width_stride
+        self._width = width
+        self._width_stride = width_stride
+        self._height = height
+
+    def width(self) -> int:
+        return self._width
+
+    def height(self) -> int:
+        return self._height
+
+    def width_stride(self) -> int:
+        return self._width_stride
+
+
+class BufferLayerCache:
+    """Per-buffer damage cache slot (`forma/src/cpu/buffer/mod.rs:113-197`).
+
+    Tracks the previous frame's clear color, per-tile layer counts and solid
+    colors so unchanged tiles can skip painting.  The TPU backend keeps the
+    equivalent state on-device; this host-side object tracks identity and
+    dimensions.
+    """
+
+    def __init__(self, cache_id: int, owner):
+        self.id = cache_id
+        self._owner = owner
+        self.clear_color = None
+        self.width: Optional[int] = None
+        self.height: Optional[int] = None
+
+    def clear(self):
+        self.clear_color = None
+        self.width = None
+        self.height = None
+
+
+@dataclass
+class Buffer:
+    """Binds a user byte buffer (numpy u8 [height, width_stride]) to a layout."""
+
+    buffer: np.ndarray
+    layout: LinearLayout
+    layer_cache: Optional[BufferLayerCache] = None

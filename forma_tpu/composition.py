@@ -1,0 +1,355 @@
+"""Scene model: ordered layers over a shared flattened-segment store.
+
+Mirrors `forma/src/composition/` and `forma/src/segment.rs`.  A
+`Composition` maps `Order` (z-order, up to 2^21-1) to `Layer`s; every layer's
+flattened geometry lives in one shared SoA `SegmentBuffer` keyed by `GeomId`,
+which lets the whole scene ship to the device as three flat arrays and is
+garbage-collected when at least half of it is unreferenced
+(`composition/mod.rs:33,372-384`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from . import consts
+from .math import AffineTransform, GeomPresTransform
+from .path import Path
+from .styling import Props
+
+_LINES_GARBAGE_THRESHOLD = 2
+
+
+class OrderError(ValueError):
+    pass
+
+
+class Order:
+    """Layer z-order in [0, 2^21 - 1] (`forma/src/utils/order.rs`)."""
+
+    MAX = consts.LAYER_LIMIT
+
+    __slots__ = ("_value",)
+
+    def __init__(self, value: int):
+        if not 0 <= value <= Order.MAX:
+            raise OrderError(f"order value {value} exceeds {Order.MAX}")
+        self._value = int(value)
+
+    @staticmethod
+    def new(value: int) -> "Order":
+        return Order(value)
+
+    def as_u32(self) -> int:
+        return self._value
+
+    def __eq__(self, other):
+        return isinstance(other, Order) and other._value == self._value
+
+    def __hash__(self):
+        return hash(self._value)
+
+    def __lt__(self, other):
+        return self._value < other._value
+
+    def __repr__(self):
+        return f"Order({self._value})"
+
+
+class GeomId(int):
+    """Monotonically increasing geometry key (`segment.rs:100-134`)."""
+
+    def next(self) -> "GeomId":
+        return GeomId(self + 1)
+
+
+_NONE_ID = np.int64(0)
+
+
+class SegmentBuffer:
+    """Shared SoA polyline store: x/y point chains, and per-point geometry ids
+    where id 0 terminates a contour (`segment.rs:152-273`).
+
+    Points are appended per path; consecutive points with the same non-zero id
+    form line segments.
+    """
+
+    def __init__(self):
+        self._x: list[np.ndarray] = []
+        self._y: list[np.ndarray] = []
+        self._ids: list[np.ndarray] = []
+        self._flat: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
+        self._len_cache: Optional[int] = None
+
+    def _invalidate(self):
+        self._flat = None
+        self._len_cache = None
+
+    def flat(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Returns (x, y, ids) as flat arrays."""
+        if self._flat is None:
+            if self._x:
+                self._flat = (
+                    np.concatenate(self._x),
+                    np.concatenate(self._y),
+                    np.concatenate(self._ids),
+                )
+            else:
+                self._flat = (
+                    np.zeros(0, np.float32),
+                    np.zeros(0, np.float32),
+                    np.zeros(0, np.int64),
+                )
+            self._x = [self._flat[0]]
+            self._y = [self._flat[1]]
+            self._ids = [self._flat[2]]
+        return self._flat
+
+    def __len__(self) -> int:
+        """Number of line segments (points with a non-terminator id)."""
+        if self._len_cache is None:
+            _, _, ids = self.flat()
+            self._len_cache = int(np.count_nonzero(ids))
+        return self._len_cache
+
+    def point_count(self) -> int:
+        return sum(a.shape[0] for a in self._x)
+
+    def push_path(self, geom_id: GeomId, path: Path):
+        """Appends a path's flattened segments (`segment.rs:180-198`).
+
+        ids[i] names the geometry of the line (points[i], points[i+1]); a
+        terminator 0 follows the last point of every contour.
+        """
+        x, y, start_new_contour = path.push_segments_to()
+        if x.shape[0] == 0:
+            return
+        ids = np.full(x.shape[0], np.int64(geom_id), dtype=np.int64)
+        # A point that starts a new contour terminates the segment that would
+        # otherwise connect it to the previous point (path.rs:703).
+        ids[start_new_contour] = _NONE_ID
+        # Points form a chain; the very last point never starts a segment.
+        ids[-1] = _NONE_ID
+        self._x.append(np.asarray(x, dtype=np.float32))
+        self._y.append(np.asarray(y, dtype=np.float32))
+        self._ids.append(ids)
+        self._invalidate()
+
+    def push_raw_segments(self, geom_id: GeomId, points: np.ndarray):
+        """Test-only raw segment injection (`segment.rs:200-235` push()):
+        points is [N, 2, 2] of independent line segments."""
+        for (p0, p1) in points:
+            x0, y0 = map(np.float32, p0)
+            x1, y1 = map(np.float32, p1)
+            self._x.append(np.asarray([x0, x1], dtype=np.float32))
+            self._y.append(np.asarray([y0, y1], dtype=np.float32))
+            self._ids.append(np.asarray([np.int64(geom_id), _NONE_ID], dtype=np.int64))
+        self._invalidate()
+
+    def retain(self, keep_fn):
+        """Keeps only points whose effective geometry id satisfies keep_fn
+        (`segment.rs:237-273`).  Terminator entries belong to the preceding id.
+        """
+        x, y, ids = self.flat()
+        if ids.shape[0] == 0:
+            return
+        eff = ids.copy()
+        none_mask = eff == _NONE_ID
+        # No two consecutive terminators exist, so the previous entry's id is
+        # always the owner.
+        eff[none_mask] = np.roll(ids, 1)[none_mask]
+        unique = np.unique(eff)
+        keep_ids = {int(u) for u in unique if keep_fn(GeomId(int(u)))}
+        keep = np.isin(eff, np.asarray(sorted(keep_ids), dtype=np.int64))
+        self._x = [x[keep]]
+        self._y = [y[keep]]
+        self._ids = [ids[keep]]
+        self._invalidate()
+
+
+class _SharedState:
+    def __init__(self):
+        self.segment_buffer = SegmentBuffer()
+        self.geom_id_to_order: Dict[GeomId, Optional[Order]] = {}
+        self._geom_id_generator = GeomId(1)
+
+    def new_geom_id(self) -> GeomId:
+        gid = self._geom_id_generator
+        self._geom_id_generator = gid.next()
+        return gid
+
+
+class Layer:
+    """Reusable geometry + style + transform bound to an order
+    (`composition/layer.rs`)."""
+
+    def __init__(self, shared_state: _SharedState, geom_id: GeomId):
+        self._shared = shared_state
+        self.geom_id_value = geom_id
+        self.is_enabled_value = True
+        self.affine_transform_value: Optional[GeomPresTransform] = None
+        self.order: Optional[Order] = None
+        self.props = Props()
+        self._is_unchanged = 0  # 32-bit set, one bit per buffer layer cache
+        self.lines_count = 0
+
+    # -- geometry ----------------------------------------------------------
+
+    def insert(self, path: Path) -> "Layer":
+        buf = self._shared.segment_buffer
+        old_len = len(buf)
+        buf.push_path(self.geom_id_value, path)
+        self.lines_count += len(buf) - old_len
+        self._shared.geom_id_to_order[self.geom_id_value] = self.order
+        self._is_unchanged = 0
+        return self
+
+    def clear(self) -> "Layer":
+        self._shared.geom_id_to_order.pop(self.geom_id_value, None)
+        self.geom_id_value = self._shared.new_geom_id()
+        self._shared.geom_id_to_order[self.geom_id_value] = self.order
+        self.lines_count = 0
+        self._is_unchanged = 0
+        return self
+
+    def geom_id(self) -> GeomId:
+        return self.geom_id_value
+
+    # -- state -------------------------------------------------------------
+
+    def set_order(self, order: Optional[Order]):
+        if order is not None and self.order != order:
+            self.order = order
+            self._is_unchanged = 0
+        self._shared.geom_id_to_order[self.geom_id_value] = order
+
+    def is_enabled(self) -> bool:
+        return self.is_enabled_value
+
+    def set_is_enabled(self, is_enabled: bool) -> "Layer":
+        self.is_enabled_value = is_enabled
+        return self
+
+    def disable(self) -> "Layer":
+        return self.set_is_enabled(False)
+
+    def enable(self) -> "Layer":
+        return self.set_is_enabled(True)
+
+    def transform(self) -> Optional[GeomPresTransform]:
+        return self.affine_transform_value
+
+    def set_transform(self, transform) -> "Layer":
+        """Sets a geometry-preserving transform; identity clears it
+        (`composition/layer.rs:299-311`)."""
+        if isinstance(transform, (list, tuple)):
+            transform = AffineTransform.from_array(transform)
+        if isinstance(transform, AffineTransform):
+            if transform.is_identity():
+                gp = None
+            else:
+                gp = GeomPresTransform.try_new(transform)
+                if gp is None:
+                    raise ValueError(
+                        "transform scales up beyond the geometry-preserving limit"
+                    )
+        else:
+            gp = transform
+        if self.affine_transform_value != gp:
+            self._is_unchanged = 0
+            self.affine_transform_value = gp
+        return self
+
+    def set_props(self, props: Props) -> "Layer":
+        if self.props != props:
+            self._is_unchanged = 0
+            self.props = props
+        return self
+
+    def is_unchanged(self, cache_id: int) -> bool:
+        return bool(self._is_unchanged & (1 << cache_id))
+
+    def set_is_unchanged(self, cache_id: int, is_unchanged: bool):
+        if is_unchanged:
+            self._is_unchanged |= 1 << cache_id
+        else:
+            self._is_unchanged &= ~(1 << cache_id)
+
+
+class Composition:
+    """Ordered map Order -> Layer over the shared segment store
+    (`composition/mod.rs:52-398`)."""
+
+    def __init__(self):
+        self._shared = _SharedState()
+        self.layers: Dict[Order, Layer] = {}
+
+    def create_layer(self) -> Layer:
+        return Layer(self._shared, self._shared.new_geom_id())
+
+    def is_empty(self) -> bool:
+        return not self.layers
+
+    def __len__(self) -> int:
+        return len(self.layers)
+
+    def insert(self, order: Order, layer: Layer) -> Optional[Layer]:
+        if layer._shared is not self._shared:
+            raise ValueError("Layer was created by a different Composition")
+        layer.set_order(order)
+        old = self.layers.get(order)
+        self.layers[order] = layer
+        if old is not None and old is not layer:
+            old.set_order(None)
+        return old
+
+    def remove(self, order: Order) -> Optional[Layer]:
+        layer = self.layers.pop(order, None)
+        if layer is not None:
+            layer.set_order(None)
+            # Unlike Rust, Python has no deterministic Drop: dropping the
+            # returned layer will not unregister its geometry, so do it here
+            # and re-register if the caller re-inserts.
+        return layer
+
+    def get(self, order: Order) -> Optional[Layer]:
+        return self.layers.get(order)
+
+    def get_mut(self, order: Order) -> Optional[Layer]:
+        return self.layers.get(order)
+
+    def get_mut_or_insert_default(self, order: Order) -> Layer:
+        if order not in self.layers:
+            self.insert(order, self.create_layer())
+        return self.layers[order]
+
+    def get_order_if_stored(self, geom_id: GeomId) -> Optional[Order]:
+        return self._shared.geom_id_to_order.get(geom_id)
+
+    def layers_iter(self) -> Iterator[Tuple[Order, Layer]]:
+        return iter(sorted(self.layers.items(), key=lambda kv: kv[0].as_u32()))
+
+    # -- geometry GC ---------------------------------------------------------
+
+    def _builder_len(self) -> int:
+        return len(self._shared.segment_buffer)
+
+    def _actual_len(self) -> int:
+        return sum(layer.lines_count for layer in self.layers.values())
+
+    def compact_geom(self):
+        """Drops unreferenced geometry when at least half the buffer is garbage
+        (`composition/mod.rs:372-384`)."""
+        if self._builder_len() >= self._actual_len() * _LINES_GARBAGE_THRESHOLD:
+            mapping = self._shared.geom_id_to_order
+            self._shared.segment_buffer.retain(lambda gid: gid in mapping)
+
+    # -- backend access ------------------------------------------------------
+
+    def shared_segment_buffer(self) -> SegmentBuffer:
+        return self._shared.segment_buffer
+
+    def geom_id_to_order(self) -> Dict[GeomId, Optional[Order]]:
+        return self._shared.geom_id_to_order
