@@ -76,16 +76,22 @@ class SegmentBuffer:
     form line segments.
     """
 
+    _serial_counter = 0
+
     def __init__(self):
+        SegmentBuffer._serial_counter += 1
+        self.serial = SegmentBuffer._serial_counter  # unique across process
         self._x: list[np.ndarray] = []
         self._y: list[np.ndarray] = []
         self._ids: list[np.ndarray] = []
         self._flat: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
         self._len_cache: Optional[int] = None
+        self.version = 0  # bumped on any geometry change; backends key caches on it
 
     def _invalidate(self):
         self._flat = None
         self._len_cache = None
+        self.version += 1
 
     def flat(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Returns (x, y, ids) as flat arrays."""

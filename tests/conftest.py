@@ -11,8 +11,11 @@ os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
-# The axon site hook would re-register the TPU platform; neutralise it.
-os.environ.pop("AXON_POOL_SVC_OVERRIDE", None)
-
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon site hook (sitecustomize) may have already registered the TPU
+# platform and forced jax_platforms before this conftest ran; force CPU.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
