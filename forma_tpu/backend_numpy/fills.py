@@ -13,11 +13,15 @@ from __future__ import annotations
 
 import numpy as np
 
+
+def _f64(v):
+    return np.asarray(v, np.float64)
+
 from ..styling import BlendMode, Fill, Gradient, GradientType, Texture
 
 
 def _fma(a, b, c):
-    return (np.float64(a) * np.float64(b) + np.float64(c)).astype(np.float32)
+    return (_f64(a) * _f64(b) + _f64(c)).astype(np.float32)
 
 
 def gradient_color_at(g: Gradient, x: np.ndarray, y: np.ndarray):

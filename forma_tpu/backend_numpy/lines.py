@@ -13,12 +13,16 @@ from dataclasses import dataclass
 
 import numpy as np
 
+
+def _f64(v):
+    return np.asarray(v, np.float64)
+
 from .. import consts
 
 
 def _fma(a, b, c):
     """f32 fused multiply-add via exact f64 product (vectorised)."""
-    return (np.float64(a) * np.float64(b) + np.float64(c)).astype(np.float32)
+    return (_f64(a) * _f64(b) + _f64(c)).astype(np.float32)
 
 
 @dataclass

@@ -16,6 +16,10 @@ from typing import Dict, Optional
 
 import numpy as np
 
+
+def _f64(v):
+    return np.asarray(v, np.float64)
+
 from .. import consts
 from ..styling import FillRule, Func
 from . import fills

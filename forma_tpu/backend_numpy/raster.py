@@ -17,6 +17,10 @@ from dataclasses import dataclass
 
 import numpy as np
 
+
+def _f64(v):
+    return np.asarray(v, np.float64)
+
 from .. import consts
 from .lines import LineView
 
@@ -56,8 +60,8 @@ def _find(i, a_over, b_over, cd_over, a, b, c, d):
             np.ceil(a_over * fi.astype(np.float64) + cd_over).astype(np.float32),
             fi,
         )
-        guess_a = (np.float64(a) * np.float64(ja) + np.float64(c)).astype(np.float32)
-        guess_b = (np.float64(b) * np.float64(jb) + np.float64(d)).astype(np.float32)
+        guess_a = (_f64(a) * _f64(ja) + _f64(c)).astype(np.float32)
+        guess_b = (_f64(b) * _f64(jb) + _f64(d)).astype(np.float32)
     # Rust f32::min returns the non-NaN operand.
     guess_a = np.where(np.isnan(guess_a), np.float32(np.inf), guess_a)
     guess_b = np.where(np.isnan(guess_b), np.float32(np.inf), guess_b)
@@ -84,10 +88,10 @@ def rasterize(view: LineView) -> PixelSegments:
     # get_ith_pixel_segment_params (`rasterizer.rs:63-76`).
     ii = seg_i - (c != 0.0) - (d != 0.0)
     with np.errstate(invalid="ignore", over="ignore", divide="ignore"):
-        sum_recip = 1.0 / (np.float64(a) + np.float64(b))
-        a_over = np.float64(a) * sum_recip
-        b_over = np.float64(b) * sum_recip
-        cd_over = (np.float64(c) - np.float64(d)) * sum_recip
+        sum_recip = 1.0 / (_f64(a) + _f64(b))
+        a_over = _f64(a) * sum_recip
+        b_over = _f64(b) * sum_recip
+        cd_over = (_f64(c) - _f64(d)) * sum_recip
 
     t0 = _find(ii, a_over, b_over, cd_over, a, b, c, d)
     t1 = _find(ii + 1, a_over, b_over, cd_over, a, b, c, d)
@@ -95,7 +99,7 @@ def rasterize(view: LineView) -> PixelSegments:
     t1 = np.minimum(t1, np.float32(1.0))
 
     def fma(x, y, z):
-        return (np.float64(x) * np.float64(y) + np.float64(z)).astype(np.float32)
+        return (_f64(x) * _f64(y) + _f64(z)).astype(np.float32)
 
     x0f = fma(t0, view.dx[line_i], view.x0[line_i])
     y0f = fma(t0, view.dy[line_i], view.y0[line_i])

@@ -180,6 +180,9 @@ class _SharedState:
         self.segment_buffer = SegmentBuffer()
         self.geom_id_to_order: Dict[GeomId, Optional[Order]] = {}
         self._geom_id_generator = GeomId(1)
+        # Bumped on any layer-state mutation (props, transforms, orders,
+        # enablement); lets backends cache per-frame tables.
+        self.state_version = 0
 
     def new_geom_id(self) -> GeomId:
         gid = self._geom_id_generator
@@ -204,6 +207,7 @@ class Layer:
     # -- geometry ----------------------------------------------------------
 
     def insert(self, path: Path) -> "Layer":
+        self._shared.state_version += 1
         buf = self._shared.segment_buffer
         old_len = len(buf)
         buf.push_path(self.geom_id_value, path)
@@ -213,6 +217,7 @@ class Layer:
         return self
 
     def clear(self) -> "Layer":
+        self._shared.state_version += 1
         self._shared.geom_id_to_order.pop(self.geom_id_value, None)
         self.geom_id_value = self._shared.new_geom_id()
         self._shared.geom_id_to_order[self.geom_id_value] = self.order
@@ -226,6 +231,7 @@ class Layer:
     # -- state -------------------------------------------------------------
 
     def set_order(self, order: Optional[Order]):
+        self._shared.state_version += 1
         if order is not None and self.order != order:
             self.order = order
             self._is_unchanged = 0
@@ -235,6 +241,8 @@ class Layer:
         return self.is_enabled_value
 
     def set_is_enabled(self, is_enabled: bool) -> "Layer":
+        if self.is_enabled_value != is_enabled:
+            self._shared.state_version += 1
         self.is_enabled_value = is_enabled
         return self
 
@@ -265,12 +273,14 @@ class Layer:
             gp = transform
         if self.affine_transform_value != gp:
             self._is_unchanged = 0
+            self._shared.state_version += 1
             self.affine_transform_value = gp
         return self
 
     def set_props(self, props: Props) -> "Layer":
         if self.props != props:
             self._is_unchanged = 0
+            self._shared.state_version += 1
             self.props = props
         return self
 

@@ -276,8 +276,13 @@ def paint(
     tiles_x: int,
     k_slots: int,
     features: Features,
+    row_lo=0,  # traced: absolute index of this shard's first tile row
 ):
-    """Returns the painted frame as linear f32 [rows*16, tiles_x*16, 4]."""
+    """Returns the painted frame as linear f32 [rows*16, tiles_x*16, 4].
+
+    `row_lo` offsets global pixel coordinates so gradients/textures evaluate
+    in absolute space when the framebuffer is sharded by tile rows.
+    """
     n_tiles = rows * tiles_x
     u_cap = key_u.shape[0]
 
@@ -316,13 +321,19 @@ def paint(
         tx_t[:, None, None] * TW + jnp.arange(TW, dtype=jnp.int32)[None, None, :]
     ).astype(jnp.float32) * jnp.ones((1, TH, 1), jnp.float32)
     yg = (
-        row_t[:, None, None] * TH + jnp.arange(TH, dtype=jnp.int32)[None, :, None]
+        (row_t[:, None, None] + jnp.int32(row_lo)) * TH
+        + jnp.arange(TH, dtype=jnp.int32)[None, :, None]
     ).astype(jnp.float32) * jnp.ones((1, 1, TW), jnp.float32)
 
     shape = (n_tiles, TH, TW)
-    dst0 = tuple(jnp.full(shape, clear_color[ch]) for ch in range(4))
-    clip_mask0 = jnp.zeros(shape, jnp.float32)
-    clip_last0 = jnp.full((n_tiles,), -1, jnp.int32)
+    # The *0 terms tie the fori_loop carry's initial value to row_lo so its
+    # varying-axes type matches the loop body under shard_map (the frame is
+    # sharded by rows; a replicated init would fail the vma check).
+    vary_f = jnp.float32(row_lo) * 0.0
+    vary_i = jnp.int32(row_lo) * 0
+    dst0 = tuple(jnp.full(shape, clear_color[ch]) + vary_f for ch in range(4))
+    clip_mask0 = jnp.zeros(shape, jnp.float32) + vary_f
+    clip_last0 = jnp.full((n_tiles,), -1, jnp.int32) + vary_i
 
     def step(k, state):
         dst, clip_mask, clip_last = state

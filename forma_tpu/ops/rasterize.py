@@ -69,10 +69,14 @@ def rasterize_sort(
     seg_cap: int,
     rows: int,
     tiles_x: int,
+    row_lo=0,  # traced: first tile row owned by this shard
 ):
     """Returns sorted (key_hi, key_lo, pos, ac) u32 arrays of length seg_cap.
 
     pos = local_x << 4 | local_y;  ac = (area + 1024) << 6 | (cover + 16).
+    Tile rows are shard-local: a segment in absolute row r gets key row
+    r - row_lo, and rows outside [row_lo, row_lo + rows) are dropped — this
+    is what lets `shard_map` split the framebuffer across chips.
     """
     i = jnp.arange(seg_cap, dtype=jnp.uint32)
     li = jnp.searchsorted(sum_lengths, i, side="right").astype(jnp.int32)
@@ -134,6 +138,7 @@ def rasterize_sort(
     # never affect painted pixels (`pixel_segment.rs:47-52`,
     # `painter/mod.rs:732-734`).
     tile_x = jnp.maximum(tile_x, -1)
+    tile_y = tile_y - jnp.int32(row_lo)
     valid = in_range & (tile_y >= 0) & (tile_y < rows) & (tile_x < tiles_x)
 
     key_hi = ((tile_y + 1).astype(jnp.uint32) << TX_BITS) | (tile_x + 1).astype(

@@ -63,8 +63,8 @@ def inv_curvature(k):
 
 def _inv_curvature_vec(k: np.ndarray) -> np.ndarray:
     c = np.float32(0.39)
-    inner = _F32(
-        np.float64(k) * np.float64(k) * 0.25 + np.float64(c * c)
+    inner = np.asarray(
+        np.asarray(k, np.float64) ** 2 * 0.25 + np.float64(c * c), dtype=np.float32
     )
     return (k * (np.float32(1.0) - c + np.sqrt(inner).astype(np.float32))).astype(
         np.float32
@@ -443,9 +443,11 @@ class _Primitives:
 
 
 def _fma_vec(a, b, c):
-    return _F32(
-        np.float64(a) * np.float64(b) + np.float64(c)
-    ).astype(np.float32, copy=False)
+    return np.asarray(
+        np.asarray(a, np.float64) * np.asarray(b, np.float64)
+        + np.asarray(c, np.float64),
+        dtype=np.float32,
+    )
 
 
 def _lerp_vec(t, a, b):

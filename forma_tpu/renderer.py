@@ -1,30 +1,25 @@
 """The device (JAX/XLA) renderer facade.
 
-Drives the staged device pipeline:
+Each frame dispatches ONE fused device program (`ops/pipeline.render_frame`)
+with optimistic capacity buckets: the packed frame and a diagnostics vector
+come back in a single device sync; if any actual total exceeded its bucket,
+the buckets grow (sticky, power-of-two) and the frame re-renders — which
+happens only on scene growth, never in steady state.
 
-    line_setup -> rasterize+sort -> runs/carries -> units -> paint -> sRGB
-
-Dynamic sizes (total pixel segments, runs, virtual units, max layers per
-tile) are read back between stages and quantised to sticky power-of-two
-capacity buckets, so steady-state rendering reuses compiled executables.
-Geometry arrays are cached on the segment buffer's version and only re-upload
-when paths change; per-frame host work is O(#geometries + #layers).
+Geometry arrays are cached on the segment buffer's version and only
+re-upload when paths change; per-frame host work is O(#geometries + #layers).
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
 from . import consts
 from .buffer import RGBA
 from .composition import Composition
-from .ops import line_setup as _ls
-from .ops import paint as _paint
-from .ops import rasterize as _raster
-from .ops import runs as _runs
-from .ops import srgb as _srgb
+from .ops import pipeline as _pipe
 from .ops import styles as _styles
 from .styling import Color
 
@@ -42,10 +37,12 @@ class Renderer:
     def __init__(self):
         self._geom_cache_key = None
         self._geom_cache = None
-        self._seg_cap = 256
-        self._run_cap = 256
-        self._v_cap = 256
-        self._k_cap = 4
+        self._tables_cache_key = None
+        self._tables_cache = None
+        self._styles_cache_key = None
+        self._styles_cache = None
+        self._caps = _pipe.Caps()
+        self.last_diag: Optional[np.ndarray] = None
 
     # -- geometry upload ----------------------------------------------------
 
@@ -85,6 +82,13 @@ class Renderer:
         return self._geom_cache
 
     def _geom_tables(self, composition: Composition, uniq: np.ndarray):
+        key = (
+            composition.shared_segment_buffer().serial,
+            composition.shared_segment_buffer().version,
+            composition._shared.state_version,
+        )
+        if self._tables_cache_key == key:
+            return self._tables_cache
         g = max(len(uniq), 1)
         g_order = np.zeros(g, np.uint32)
         g_valid = np.zeros(g, bool)
@@ -105,7 +109,16 @@ class Renderer:
             if t is not None:
                 g_t[k] = np.asarray(t.as_slice(), np.float32)
                 g_has_t[k] = True
-        return g_order, g_valid, g_t, g_has_t
+        import jax.numpy as jnp
+
+        self._tables_cache_key = key
+        self._tables_cache = (
+            jnp.asarray(g_order),
+            jnp.asarray(g_valid),
+            jnp.asarray(g_t),
+            jnp.asarray(g_has_t),
+        )
+        return self._tables_cache
 
     # -- rendering ----------------------------------------------------------
 
@@ -119,6 +132,21 @@ class Renderer:
         crop=None,
     ) -> np.ndarray:
         """Renders and returns u8 [height, width, 4] in channel order."""
+        frame, _ = self.render_device(composition, width, height, clear_color, channels)
+        return np.asarray(frame)[:height, :width]
+
+    def render_device(
+        self,
+        composition: Composition,
+        width: int,
+        height: int,
+        clear_color: Color = Color(0.0, 0.0, 0.0, 1.0),
+        channels=RGBA,
+    ):
+        """Renders; returns (device u8 frame [rows*16, tiles_x*16, 4], diag).
+
+        The frame stays on device; only the diagnostics vector syncs.
+        """
         import jax.numpy as jnp
 
         composition.compact_geom()
@@ -129,66 +157,40 @@ class Renderer:
         px, py, line_slot, uniq = self._prepare_geometry(composition)
         g_order, g_valid, g_t, g_has_t = self._geom_tables(composition, uniq)
 
-        (orders, x0, y0, dx, dy, a, b, c, d, sum_lengths) = _ls.line_setup(
-            px,
-            py,
-            line_slot,
-            jnp.asarray(g_order),
-            jnp.asarray(g_valid),
-            jnp.asarray(g_t),
-            jnp.asarray(g_has_t),
-            width,
-            height,
+        skey = (
+            composition.shared_segment_buffer().serial,
+            composition._shared.state_version,
         )
-        total = int(sum_lengths[-1]) if sum_lengths.shape[0] else 0
-
-        st = _styles.build_style_tables(composition.layers)
+        if self._styles_cache_key == skey:
+            st_host, st = self._styles_cache
+        else:
+            st_host = _styles.build_style_tables(composition.layers)
+            st = _pipe.style_tables_device(st_host)
+            self._styles_cache_key = skey
+            self._styles_cache = (st_host, st)
         clear = jnp.asarray(clear_color.to_array(), jnp.float32)
+        chans = tuple(ch.value for ch in channels)
 
-        if total == 0 or not composition.layers:
-            frame = jnp.broadcast_to(
-                clear, (rows * consts.TILE_HEIGHT, tiles_x * consts.TILE_WIDTH, 4)
+        for _ in range(8):  # bounded growth retries
+            frame, diag = _pipe.render_frame(
+                px, py, line_slot, g_order, g_valid, g_t, g_has_t, st, clear,
+                width, height, rows, tiles_x,
+                self._caps, st_host.features, chans,
             )
-            packed = _srgb.pack_srgb(frame, tuple(ch.value for ch in channels))
-            return np.asarray(packed)[:height, :width]
-
-        self._seg_cap = max(self._seg_cap, _bucket(total + 1))
-        key_hi, key_lo, pos, ac = _raster.rasterize_sort(
-            orders, x0, y0, dx, dy, a, b, c, d, sum_lengths,
-            jnp.uint32(total), self._seg_cap, rows, tiles_x,
-        )
-
-        run_id, num_runs = _runs.extract_runs(key_hi, key_lo)
-        n_runs = int(num_runs)
-        self._run_cap = max(self._run_cap, _bucket(n_runs))
-
-        st_orders = jnp.asarray(st.orders)
-        st_fill_rule = jnp.asarray(st.fill_rule)
-        rd = _runs.run_data(
-            key_hi, key_lo, pos, ac, run_id, num_runs,
-            st_orders, st_fill_rule, self._run_cap, tiles_x,
-        )
-
-        v_total = int(rd["v_total"])
-        self._v_cap = max(self._v_cap, _bucket(v_total + 1))
-        key_u, layer_u, src_u, virt_u, k_u, u_valid, k_needed = _runs.build_units(
-            rd["run_hi"], rd["run_layer"], rd["r_valid"],
-            rd["key2_s"], rd["tx_s"], rd["span"], rd["cumspan"], rd["v_total"],
-            self._v_cap,
-        )
-        kn = int(k_needed)
-        self._k_cap = max(self._k_cap, _bucket(max(kn, 1), lo=4))
-
-        frame = _paint.paint(
-            key_u, layer_u, src_u, virt_u, k_u, u_valid,
-            rd["area_grid"], rd["cover_grid"], rd["carry_in"], rd["carry_after_s"],
-            st_orders, st_fill_rule,
-            jnp.asarray(st.func), jnp.asarray(st.clip_n),
-            jnp.asarray(st.is_clipped), jnp.asarray(st.blend),
-            jnp.asarray(st.fill_type), jnp.asarray(st.color),
-            jnp.asarray(st.grad), jnp.asarray(st.stops), jnp.asarray(st.tex),
-            jnp.asarray(st.atlas), clear,
-            rows, tiles_x, self._k_cap, st.features,
-        )
-        packed = _srgb.pack_srgb(frame, tuple(ch.value for ch in channels))
-        return np.asarray(packed)[:height, :width]
+            d = np.asarray(diag)
+            caps = self._caps
+            if (
+                d[_pipe.DIAG_TOTAL] <= caps.seg
+                and d[_pipe.DIAG_RUNS] <= caps.run
+                and d[_pipe.DIAG_VIRT] <= caps.virt
+                and d[_pipe.DIAG_K] <= caps.k
+            ):
+                self.last_diag = d
+                return frame, d
+            self._caps = _pipe.Caps(
+                seg=max(caps.seg, _bucket(int(d[_pipe.DIAG_TOTAL]) + 1)),
+                run=max(caps.run, _bucket(int(d[_pipe.DIAG_RUNS]))),
+                virt=max(caps.virt, _bucket(int(d[_pipe.DIAG_VIRT]) + 1)),
+                k=max(caps.k, _bucket(max(int(d[_pipe.DIAG_K]), 1), lo=4)),
+            )
+        raise RuntimeError(f"capacity growth did not converge: {d}")
