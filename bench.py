@@ -34,7 +34,10 @@ def main():
 
     import jax
 
+    import forma_tpu
     from forma_tpu import AffineTransform, Color, Composition
+
+    forma_tpu.enable_compilation_cache()
     from forma_tpu.demos import scenes
     from forma_tpu.renderer import Renderer
 

@@ -42,3 +42,14 @@ from .styling import (  # noqa: F401
 )
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path: str = "/tmp/forma_tpu_jax_cache"):
+    """Persists compiled executables across processes; first-frame compiles
+    of the fused pipeline are expensive (the TPU toolchain compiles
+    remotely), so demos/benchmarks call this at startup."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+

@@ -277,6 +277,7 @@ def paint(
     k_slots: int,
     features: Features,
     row_lo=0,  # traced: absolute index of this shard's first tile row
+    k_active=None,  # traced: actual max slots this frame (<= k_slots)
 ):
     """Returns the painted frame as linear f32 [rows*16, tiles_x*16, 4].
 
@@ -297,7 +298,10 @@ def paint(
         consts.PIXEL_DOUBLE_WIDTH * carry_after_s[src][:, :, None],
         da_real[src],
     )
-    sidx_u = _style_index(st_orders, layer_u)
+    # layer_u carries style slots (indices into the style tables); slot order
+    # equals layer-id order, and real ids are recovered from st_orders only
+    # where clip bookkeeping needs arithmetic on them.
+    sidx_u = jnp.minimum(layer_u.astype(jnp.int32), st_orders.shape[0] - 1)
     cov_u = _coverage(da_u, st_fill_rule[sidx_u])  # [U, 16, 16] f32
 
     # Per-tile slot table.
@@ -342,8 +346,8 @@ def paint(
         uc = jnp.maximum(u, 0)
 
         cov = cov_u[uc] * present[:, None, None]
-        layer = layer_u[uc].astype(jnp.int32)
         si = sidx_u[uc]
+        layer = (st_orders[si] & jnp.uint32(consts.LAYER_LIMIT)).astype(jnp.int32)
 
         func = st_func[si]
         is_clip_unit = present & (func == 1)
@@ -398,8 +402,9 @@ def paint(
         ) + (dst[3] * inv_src_a + src_a,)
         return new, clip_mask, clip_last
 
+    upper = k_slots if k_active is None else jnp.minimum(k_active, k_slots)
     dst, _, _ = jax.lax.fori_loop(
-        0, k_slots, step, (dst0, clip_mask0, clip_last0)
+        0, upper, step, (dst0, clip_mask0, clip_last0)
     )
 
     # [T, 16, 16] x4 -> [rows*16, tiles_x*16, 4]

@@ -56,15 +56,23 @@ def _core(
     )
     total = sum_lengths[-1]
 
-    key_hi, key_lo, pos, ac = _raster.rasterize_sort(
+    # Pack the sort key into one u32 when [row | tx | slot] fits.
+    sl = st["orders"].shape[0]
+    slot_bits = max((sl - 1).bit_length(), 1)
+    row_bits = (rows + 1).bit_length()
+    tx_bits = max((tiles_x + 1).bit_length(), 1)
+    if row_bits + tx_bits + slot_bits > 32:
+        slot_bits = 0  # fall back to the two-key sort
+    key_hi, key_lo, payload = _raster.rasterize_sort(
         orders, x0, y0, dx, dy, a, b, c, d, sum_lengths,
         jnp.minimum(total, jnp.uint32(caps.seg)),
         caps.seg, rows, tiles_x, row_lo,
+        st_orders=st["orders"], slot_bits=slot_bits,
     )
 
     run_id, num_runs = _runs.extract_runs(key_hi, key_lo)
     rd = _runs.run_data(
-        key_hi, key_lo, pos, ac, run_id, jnp.minimum(num_runs, caps.run),
+        key_hi, key_lo, payload, run_id, jnp.minimum(num_runs, caps.run),
         st["orders"], st["fill_rule"], caps.run, tiles_x,
     )
 
@@ -82,6 +90,7 @@ def _core(
         st["is_clipped"], st["blend"], st["fill_type"], st["color"],
         st["grad"], st["stops"], st["tex"], st["atlas"], clear,
         rows, tiles_x, caps.k, features, row_lo,
+        k_active=jnp.minimum(k_needed, caps.k),
     )
     packed = _srgb.pack_srgb(frame, channels)
 

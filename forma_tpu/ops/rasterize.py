@@ -53,7 +53,7 @@ def _find(i, a_over, b_over, cd_over, a, b, c, d):
     return jnp.minimum(guess_a, guess_b)
 
 
-@partial(jax.jit, static_argnames=("seg_cap", "rows", "tiles_x"))
+@partial(jax.jit, static_argnames=("seg_cap", "rows", "tiles_x", "slot_bits"))
 def rasterize_sort(
     orders,
     x0,
@@ -70,18 +70,35 @@ def rasterize_sort(
     rows: int,
     tiles_x: int,
     row_lo=0,  # traced: first tile row owned by this shard
+    st_orders=None,  # u32 [SL] sorted styled layer ids; enables slot keys
+    slot_bits: int = 0,  # >0: single packed u32 sort key [row|tx|slot]
 ):
-    """Returns sorted (key_hi, key_lo, pos, ac) u32 arrays of length seg_cap.
+    """Returns sorted (key_hi, key_lo, payload) u32 arrays of length seg_cap.
 
-    pos = local_x << 4 | local_y;  ac = (area + 1024) << 6 | (cover + 16).
+    key_lo is the *style slot* (index into st_orders) when st_orders is
+    given, else the raw layer id; slot order equals layer order, so sorting
+    is unchanged.  With slot_bits > 0 the two keys pack into ONE u32
+    (minimal row/tx bits + slot_bits), halving the sort's key traffic —
+    the fast path whenever row_bits + tx_bits + slot_bits <= 32.
+
+    payload = local_x << 21 | local_y << 17 | (area + 1024) << 6 | (cover + 16).
     Tile rows are shard-local: a segment in absolute row r gets key row
     r - row_lo, and rows outside [row_lo, row_lo + rows) are dropped — this
     is what lets `shard_map` split the framebuffer across chips.
     """
     i = jnp.arange(seg_cap, dtype=jnp.uint32)
-    li = jnp.searchsorted(sum_lengths, i, side="right").astype(jnp.int32)
-    li = jnp.minimum(li, sum_lengths.shape[0] - 1)
-    base = jnp.where(li > 0, sum_lengths[jnp.maximum(li - 1, 0)], 0)
+    # Owning line per output slot: instead of a binary search over the prefix
+    # sums (log2(L) gather rounds, slow on TPU), scatter each line's end
+    # position and take prefix sums -- line_id[i] = #{lines ending <= i},
+    # base[i] = largest line end <= i.
+    ends = jnp.minimum(sum_lengths, jnp.uint32(seg_cap)).astype(jnp.int32)
+    line_id = jnp.cumsum(
+        jnp.zeros(seg_cap + 1, jnp.int32).at[ends].add(1, mode="drop")[:-1]
+    )
+    base = jax.lax.cummax(
+        jnp.zeros(seg_cap + 1, jnp.uint32).at[ends].max(sum_lengths, mode="drop")[:-1]
+    )
+    li = jnp.minimum(line_id, sum_lengths.shape[0] - 1)
     seg_i = (i - base).astype(jnp.int32)
     in_range = i < total
 
@@ -145,27 +162,49 @@ def rasterize_sort(
         jnp.uint32
     )
     key_hi = jnp.where(valid, key_hi, SENTINEL)
-    key_lo = jnp.where(valid, orders[li] & jnp.uint32(consts.LAYER_LIMIT), 0)
+    layer = orders[li] & jnp.uint32(consts.LAYER_LIMIT)
+    if st_orders is not None:
+        key_lo = jnp.minimum(
+            jnp.searchsorted(st_orders, layer), st_orders.shape[0] - 1
+        ).astype(jnp.uint32)
+    else:
+        key_lo = layer
+    key_lo = jnp.where(valid, key_lo, 0)
 
-    pos = (local_x << 4) | local_y
-    ac = ((area + 1024).astype(jnp.uint32) << 6) | (cover + 16).astype(jnp.uint32)
-    zero_ac = (jnp.uint32(1024) << 6) | jnp.uint32(16)
-    ac = jnp.where(valid, ac, zero_ac)
-    pos = jnp.where(valid, pos, 0)
-
-    key_hi, key_lo, pos, ac = jax.lax.sort(
-        (key_hi, key_lo, pos, ac), num_keys=2
+    payload = (
+        (local_x << 21)
+        | (local_y << 17)
+        | ((area + 1024).astype(jnp.uint32) << 6)
+        | (cover + 16).astype(jnp.uint32)
     )
-    return key_hi, key_lo, pos, ac
+    zero_payload = (jnp.uint32(1024) << 6) | jnp.uint32(16)
+    payload = jnp.where(valid, payload, zero_payload)
+
+    if slot_bits > 0:
+        # Packed single-key sort: [rowb | txb | slot] in minimal bits.
+        tx_bits = max((tiles_x + 1).bit_length(), 1)
+        packed = (
+            (((tile_y + 1).astype(jnp.uint32) << tx_bits)
+             | (tile_x + 1).astype(jnp.uint32)) << slot_bits
+        ) | key_lo
+        packed = jnp.where(valid, packed, SENTINEL)
+        packed, payload = jax.lax.sort((packed, payload), num_keys=1)
+        invalid = packed == SENTINEL
+        txb = (packed >> slot_bits) & jnp.uint32((1 << tx_bits) - 1)
+        rowb = packed >> (slot_bits + tx_bits)
+        key_hi = jnp.where(invalid, SENTINEL, (rowb << TX_BITS) | txb)
+        key_lo = jnp.where(invalid, 0, packed & jnp.uint32((1 << slot_bits) - 1))
+    else:
+        key_hi, key_lo, payload = jax.lax.sort(
+            (key_hi, key_lo, payload), num_keys=2
+        )
+    return key_hi, key_lo, payload
 
 
-def unpack_ac(ac):
-    """ac u32 -> (area i32, cover i32)."""
-    area = (ac >> 6).astype(jnp.int32) - 1024
-    cover = (ac & jnp.uint32(63)).astype(jnp.int32) - 16
-    return area, cover
-
-
-def unpack_pos(pos):
-    """pos u32 -> (local_x, local_y) i32."""
-    return (pos >> 4).astype(jnp.int32), (pos & jnp.uint32(15)).astype(jnp.int32)
+def unpack_payload(payload):
+    """payload u32 -> (local_x, local_y, area, cover) i32."""
+    lx = (payload >> 21).astype(jnp.int32) & 15
+    ly = (payload >> 17).astype(jnp.int32) & 15
+    area = ((payload >> 6) & jnp.uint32(0x7FF)).astype(jnp.int32) - 1024
+    cover = (payload & jnp.uint32(63)).astype(jnp.int32) - 16
+    return lx, ly, area, cover

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import consts
-from .rasterize import SENTINEL, TX_BITS, unpack_ac, unpack_pos
+from .rasterize import SENTINEL, TX_BITS, unpack_payload
 
 TH = consts.TILE_HEIGHT
 TW = consts.TILE_WIDTH
@@ -53,8 +53,7 @@ def _first_of_group(new_group):
 def run_data(
     key_hi,
     key_lo,
-    pos,
-    ac,
+    payload,
     run_id,
     num_runs,
     st_orders,  # u32 [SL] sorted layer ids with styles
@@ -78,8 +77,7 @@ def run_data(
 
     # Scatter segment covers/areas into per-run 16x16 grids.  Padding
     # segments carry zero area/cover, so scattering them is harmless.
-    area, cover = unpack_ac(ac)
-    lx, ly = unpack_pos(pos)
+    lx, ly, area, cover = unpack_payload(payload)
     rid = jnp.minimum(run_id, run_cap - 1)
     area_grid = jnp.zeros((run_cap, TH, TW), jnp.int32).at[rid, ly, lx].add(
         area, mode="drop"
@@ -117,11 +115,10 @@ def run_data(
 
     # A gap only paints if the carry is non-empty under the layer's fill rule
     # (`painter/mod.rs:187-198`).
-    layer_s = (key2_s & _LAYER_MASK).astype(jnp.uint32)
-    sidx = jnp.minimum(
-        jnp.searchsorted(st_orders, layer_s), st_orders.shape[0] - 1
+    slot_s = jnp.minimum(
+        (key2_s & _LAYER_MASK).astype(jnp.int32), st_fill_rule.shape[0] - 1
     )
-    fr_s = st_fill_rule[sidx]
+    fr_s = st_fill_rule[slot_s]
     empty_nz = jnp.all(carry_after_s == 0, axis=1)
     empty_eo = jnp.all((jnp.abs(carry_after_s) & 31) == 0, axis=1)
     empty = jnp.where(fr_s == 1, empty_eo, empty_nz)

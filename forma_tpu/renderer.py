@@ -135,6 +135,39 @@ class Renderer:
         frame, _ = self.render_device(composition, width, height, clear_color, channels)
         return np.asarray(frame)[:height, :width]
 
+    def render_into(
+        self,
+        composition: Composition,
+        buffer,
+        clear_color: Color = Color(0.0, 0.0, 0.0, 1.0),
+        channels=RGBA,
+        crop=None,
+    ):
+        """Renders into a `Buffer` (numpy u8 [H, width_stride]); pixels
+        outside `crop` (a tile-aligned `Rect`) are left untouched, matching
+        `cpu::Renderer::render` (`forma/src/cpu/renderer.rs:75`)."""
+        from . import consts as _c
+
+        layout = buffer.layout
+        w, h = layout.width(), layout.height()
+        frame, _ = self.render_device(composition, w, h, clear_color, channels)
+        img = np.asarray(frame)[:h, :w]
+        target = buffer.buffer.reshape(h, -1)[:, : w * 4].reshape(h, w, 4)
+        if crop is None:
+            target[:] = img
+        else:
+            x0 = crop.hor.start * _c.TILE_WIDTH
+            x1 = min(crop.hor.stop * _c.TILE_WIDTH, w)
+            y0 = crop.vert.start * _c.TILE_HEIGHT
+            y1 = min(crop.vert.stop * _c.TILE_HEIGHT, h)
+            target[y0:y1, x0:x1] = img[y0:y1, x0:x1]
+        if buffer.layer_cache is not None:
+            cache = buffer.layer_cache
+            cache.clear_color = clear_color
+            cache.width, cache.height = w, h
+            for layer in composition.layers.values():
+                layer.set_is_unchanged(cache.id, layer.is_enabled_value)
+
     def render_device(
         self,
         composition: Composition,

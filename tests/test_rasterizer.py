@@ -33,7 +33,7 @@ def _segments(p0, p1, backend="oracle"):
     import jax.numpy as jnp
 
     from forma_tpu.ops.line_setup import line_setup
-    from forma_tpu.ops.rasterize import rasterize_sort, unpack_ac, unpack_pos
+    from forma_tpu.ops.rasterize import rasterize_sort, unpack_payload
 
     x, y, ids = buf.flat()
     line_slot = np.where(ids[:-1] != 0, 0, -1).astype(np.int32)
@@ -45,12 +45,11 @@ def _segments(p0, p1, backend="oracle"):
     )
     sl = out[9]
     total = int(sl[-1])
-    kh, kl, pos, ac = rasterize_sort(
+    kh, kl, payload = rasterize_sort(
         *out[:9], sl, jnp.uint32(total), max(total, 1), 1 << 11, 1 << 12,
     )
     kh, kl = np.asarray(kh), np.asarray(kl)
-    area, cover = map(np.asarray, unpack_ac(ac))
-    lx, ly = map(np.asarray, unpack_pos(pos))
+    lx, ly, area, cover = map(np.asarray, unpack_payload(payload))
     valid = kh != 0xFFFFFFFF
     ty = (kh[valid] >> 13).astype(np.int64) - 1
     tx = (kh[valid] & 0x1FFF).astype(np.int64) - 1
