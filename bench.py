@@ -8,6 +8,13 @@ The reference's paris-30k.svg asset is not distributed; the scene is a
 deterministic synthesized equivalent (~30k paths: buildings, roads, parks;
 see forma_tpu/demos/scenes.py).
 
+Timing methodology: frames dispatch back-to-back WITHOUT per-frame host
+fences (on this TPU stack a host round-trip costs ~28 ms and
+`block_until_ready` is unreliable); the clock stops on a `device_get` of the
+last frame's checksum, and every frame's diagnostics are fetched afterwards
+to assert no capacity bucket overflowed mid-run (a silent overflow would
+drop segments and fake speed).
+
 Flags: --paths N, --frames N, --width/--height, --scene {paris,circles},
 --animate (per-frame full-scene transform changes: re-sort + repaint stress).
 """
@@ -33,12 +40,14 @@ def main():
     args = ap.parse_args()
 
     import jax
+    import numpy as np
 
     import forma_tpu
-    from forma_tpu import AffineTransform, Color, Composition
+    from forma_tpu import Color, Composition
 
     forma_tpu.enable_compilation_cache()
     from forma_tpu.demos import scenes
+    from forma_tpu.ops import pipeline as pipe
     from forma_tpu.renderer import Renderer
 
     t0 = time.time()
@@ -52,44 +61,76 @@ def main():
     renderer = Renderer()
     clear = Color(1.0, 1.0, 1.0, 1.0)
 
-    # Warm up: compile + capacity growth.
+    orders = np.asarray([o.as_u32() for o in comp.layers], np.uint32)
+
+    def frame_transform(i):
+        a = 0.0005 * (i + 1)
+        row = np.asarray(
+            [
+                math.cos(a) * 0.999,
+                math.sin(a) * 0.999,
+                -math.sin(a) * 0.999,
+                math.cos(a) * 0.999,
+                0.0,
+                0.0,
+            ],
+            np.float32,
+        )
+        return np.tile(row, (len(orders), 1))
+
+    # Warm up: compile + capacity growth (including the animated extremes so
+    # steady-state frames never regrow).
     t0 = time.time()
     frame, diag = renderer.render_device(comp, args.width, args.height, clear)
-    jax.block_until_ready(frame)
+    if args.animate:
+        comp.set_transforms(orders, frame_transform(args.frames - 1))
+        frame, diag = renderer.render_device(comp, args.width, args.height, clear)
+        comp.set_transforms(orders, frame_transform(0))
+        frame, diag = renderer.render_device(comp, args.width, args.height, clear)
+    jax.device_get(diag)
     warm_s = time.time() - t0
     if args.verbose:
         print(
             f"# build {build_s:.1f}s warmup {warm_s:.1f}s "
-            f"segments={diag[0]} runs={diag[1]} virtual={diag[2]} k={diag[3]} "
-            f"caps={renderer._caps}",
+            f"vlines={diag[pipe.DIAG_VLINES]} runs={diag[pipe.DIAG_RUNS]} "
+            f"virtual={diag[pipe.DIAG_VIRT]} k={diag[pipe.DIAG_K]} "
+            f"segments={diag[pipe.DIAG_SEGS]} caps={renderer._caps}",
             file=sys.stderr,
         )
 
-    if args.animate:
-        # Per-frame transform mutation forces full re-sort + repaint.
-        sc = 0.9999
-        for layer in comp.layers.values():
-            pass
-
-    t0 = time.time()
+    caps = renderer._caps
     n = args.frames
-    for i in range(n):
-        if args.animate:
-            a = 0.0005 * (i + 1)
-            t = AffineTransform(
-                ux=math.cos(a) * 0.999,
-                uy=math.sin(a) * 0.999,
-                vx=-math.sin(a) * 0.999,
-                vy=math.cos(a) * 0.999,
+    for _attempt in range(3):
+        diags = []
+        t0 = time.time()
+        for i in range(n):
+            if args.animate:
+                comp.set_transforms(orders, frame_transform(i))
+            frame, diag = renderer.render_device(
+                comp, args.width, args.height, clear, check_caps=False
             )
-            for layer in comp.layers.values():
-                layer.set_transform(t)
-        frame, diag = renderer.render_device(comp, args.width, args.height, clear)
-    jax.block_until_ready(frame)
-    dt = time.time() - t0
-    fps = n / dt
+            diags.append(diag)
+        # Fence on actual pixels of the last frame.
+        jax.device_get(frame[0, 0])
+        dt = time.time() - t0
+        # Validate: no frame overflowed its capacity buckets.
+        ds = np.stack([np.asarray(d) for d in diags])
+        ok = (
+            (ds[:, pipe.DIAG_VLINES] <= caps.vline).all()
+            and (ds[:, pipe.DIAG_RUNS] <= caps.run).all()
+            and (ds[:, pipe.DIAG_VIRT] <= caps.virt).all()
+            and (ds[:, pipe.DIAG_K] <= caps.k).all()
+        )
+        if ok:
+            break
+        # Grow to the observed maxima and re-time.
+        renderer.render_device(comp, args.width, args.height, clear)
+        caps = renderer._caps
+        if args.verbose:
+            print(f"# capacity regrew to {caps}; re-timing", file=sys.stderr)
 
-    segs_per_s = float(diag[0]) * fps
+    fps = n / dt
+    segs_per_s = float(ds[-1, pipe.DIAG_SEGS]) * fps
     if args.verbose:
         print(
             f"# {fps:.2f} FPS, {dt / n * 1000:.1f} ms/frame, "

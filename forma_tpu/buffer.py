@@ -86,23 +86,35 @@ class LinearLayout:
 class BufferLayerCache:
     """Per-buffer damage cache slot (`forma/src/cpu/buffer/mod.rs:113-197`).
 
-    Tracks the previous frame's clear color, per-tile layer counts and solid
-    colors so unchanged tiles can skip painting.  The TPU backend keeps the
-    equivalent state on-device; this host-side object tracks identity and
-    dimensions.
+    The TPU analog of `CachedTile` (`cpu/painter/mod.rs:629-714`): the
+    previous frame and per-tile unit counts stay ON DEVICE; a tile whose
+    layer set is unchanged (same count, every layer's is_unchanged bit set,
+    same clear color) re-emits its previous pixels and skips all blending
+    (`passes/tile_unchanged.rs:24-57`).
     """
 
-    def __init__(self, cache_id: int, owner):
+    def __init__(self, cache_id: int, owner=None):
         self.id = cache_id
         self._owner = owner
         self.clear_color = None
         self.width: Optional[int] = None
         self.height: Optional[int] = None
+        self.channels = None
+        self.prev_frame = None  # device u8 [rows*16, tiles_x*16, C]
+        self.prev_counts = None  # device i32 [rows * tiles_x]
 
     def clear(self):
         self.clear_color = None
         self.width = None
         self.height = None
+        self.channels = None
+        self.prev_frame = None
+        self.prev_counts = None
+
+    def __del__(self):
+        owner = getattr(self, "_owner", None)
+        if owner is not None:
+            owner._release_cache_slot(self.id)
 
 
 @dataclass

@@ -15,11 +15,13 @@ from typing import Dict, Iterator, Optional, Tuple
 import numpy as np
 
 from . import consts
-from .math import AffineTransform, GeomPresTransform
+from .interner import Interner
+from .math import AffineTransform, GeomPresTransform, GeomPresTransformError
 from .path import Path
 from .styling import Props
 
 _LINES_GARBAGE_THRESHOLD = 2
+_IDENTITY6 = np.asarray([1, 0, 0, 1, 0, 0], np.float32)
 
 
 class OrderError(ValueError):
@@ -175,14 +177,70 @@ class SegmentBuffer:
         self._invalidate()
 
 
+class _LayerRegistry:
+    """Vectorized per-layer state: flat numpy arrays indexed by layer slot.
+
+    Mutations write single rows in place; the device renderer builds its
+    per-frame tables as pure numpy gathers instead of Python loops — the
+    TPU-first answer to the reference's per-layer `InnerLayer` lookups
+    (`segment.rs:291-344`).
+    """
+
+    def __init__(self, cap: int = 64):
+        self.order = np.zeros(cap, np.uint32)
+        self.valid = np.zeros(cap, bool)  # alive & enabled & has an order
+        self.tform = np.tile(_IDENTITY6, (cap, 1))
+        self.has_t = np.zeros(cap, bool)
+        self.unchanged = np.zeros(cap, np.uint32)  # per-cache dirty bits
+        self._free: list[int] = list(range(cap - 1, -1, -1))
+
+    def alloc(self) -> int:
+        if not self._free:
+            old = self.order.shape[0]
+            cap = old * 2
+            self.order = np.resize(self.order, cap)
+            self.valid = np.resize(self.valid, cap)
+            self.tform = np.vstack([self.tform, np.tile(_IDENTITY6, (old, 1))])
+            self.has_t = np.resize(self.has_t, cap)
+            self.unchanged = np.resize(self.unchanged, cap)
+            self.order[old:] = 0
+            self.valid[old:] = False
+            self.has_t[old:] = False
+            self.unchanged[old:] = 0
+            self._free = list(range(cap - 1, old - 1, -1))
+        slot = self._free.pop()
+        self.order[slot] = 0
+        self.valid[slot] = False
+        self.tform[slot] = _IDENTITY6
+        self.has_t[slot] = False
+        self.unchanged[slot] = 0
+        return slot
+
+    def free(self, slot: int):
+        self.valid[slot] = False
+        self._free.append(slot)
+
+
 class _SharedState:
     def __init__(self):
         self.segment_buffer = SegmentBuffer()
         self.geom_id_to_order: Dict[GeomId, Optional[Order]] = {}
+        self.geom_id_to_slot: Dict[GeomId, int] = {}
         self._geom_id_generator = GeomId(1)
-        # Bumped on any layer-state mutation (props, transforms, orders,
-        # enablement); lets backends cache per-frame tables.
-        self.state_version = 0
+        self.registry = _LayerRegistry()
+        self.props_interner: Interner[Props] = Interner()
+        # Split version counters so backends invalidate only what changed:
+        # scene  — layer add/remove/order/enable + geometry registration
+        # style  — props changes (style tables)
+        # tform  — transform changes (cheapest: per-frame animation)
+        self.scene_version = 0
+        self.style_version = 0
+        self.tform_version = 0
+
+    @property
+    def state_version(self) -> int:
+        """Catch-all for callers that want 'anything changed'."""
+        return self.scene_version + self.style_version + self.tform_version
 
     def new_geom_id(self) -> GeomId:
         gid = self._geom_id_generator
@@ -190,39 +248,87 @@ class _SharedState:
         return gid
 
 
+def _finalize_layer(shared: _SharedState, slot: int, geom_box: list, props_cell):
+    """weakref.finalize callback: the Python analog of `Layer::drop`
+    (`composition/layer.rs:356-363`) — unregisters geometry so
+    `compact_geom` can collect it, frees the registry slot, releases the
+    interned props.  Must not capture the Layer itself."""
+    gid = geom_box[0]
+    shared.geom_id_to_order.pop(gid, None)
+    shared.geom_id_to_slot.pop(gid, None)
+    shared.registry.free(slot)
+    shared.props_interner.release(props_cell[0])
+    shared.scene_version += 1
+
+
 class Layer:
     """Reusable geometry + style + transform bound to an order
     (`composition/layer.rs`)."""
 
     def __init__(self, shared_state: _SharedState, geom_id: GeomId):
+        import weakref
+
         self._shared = shared_state
-        self.geom_id_value = geom_id
+        self._slot = shared_state.registry.alloc()
+        self._geom_box = [geom_id]
         self.is_enabled_value = True
-        self.affine_transform_value: Optional[GeomPresTransform] = None
         self.order: Optional[Order] = None
-        self.props = Props()
-        self._is_unchanged = 0  # 32-bit set, one bit per buffer layer cache
+        self._props_cell_box = [shared_state.props_interner.acquire(Props())]
         self.lines_count = 0
+        self._finalizer = weakref.finalize(
+            self, _finalize_layer, shared_state, self._slot, self._geom_box,
+            self._props_cell_box,
+        )
+
+    @property
+    def geom_id_value(self) -> GeomId:
+        return self._geom_box[0]
+
+    @property
+    def props(self) -> Props:
+        return self._props_cell_box[0].value
+
+    @property
+    def props_intern_id(self) -> int:
+        return self._props_cell_box[0].id
+
+    @property
+    def affine_transform_value(self) -> Optional[GeomPresTransform]:
+        """Reads from the registry — the single source of truth, so the bulk
+        `Composition.set_transforms` and per-layer setters stay coherent."""
+        reg = self._shared.registry
+        if not reg.has_t[self._slot]:
+            return None
+        return GeomPresTransform(AffineTransform.from_array(reg.tform[self._slot]))
+
+    def _sync_valid(self):
+        reg = self._shared.registry
+        reg.valid[self._slot] = self.is_enabled_value and self.order is not None
+        if self.order is not None:
+            reg.order[self._slot] = self.order.as_u32()
 
     # -- geometry ----------------------------------------------------------
 
     def insert(self, path: Path) -> "Layer":
-        self._shared.state_version += 1
+        self._shared.scene_version += 1
         buf = self._shared.segment_buffer
         old_len = len(buf)
         buf.push_path(self.geom_id_value, path)
         self.lines_count += len(buf) - old_len
         self._shared.geom_id_to_order[self.geom_id_value] = self.order
-        self._is_unchanged = 0
+        self._shared.geom_id_to_slot[self.geom_id_value] = self._slot
+        self._shared.registry.unchanged[self._slot] = 0
         return self
 
     def clear(self) -> "Layer":
-        self._shared.state_version += 1
+        self._shared.scene_version += 1
         self._shared.geom_id_to_order.pop(self.geom_id_value, None)
-        self.geom_id_value = self._shared.new_geom_id()
+        self._shared.geom_id_to_slot.pop(self.geom_id_value, None)
+        self._geom_box[0] = self._shared.new_geom_id()
         self._shared.geom_id_to_order[self.geom_id_value] = self.order
+        self._shared.geom_id_to_slot[self.geom_id_value] = self._slot
         self.lines_count = 0
-        self._is_unchanged = 0
+        self._shared.registry.unchanged[self._slot] = 0
         return self
 
     def geom_id(self) -> GeomId:
@@ -231,19 +337,24 @@ class Layer:
     # -- state -------------------------------------------------------------
 
     def set_order(self, order: Optional[Order]):
-        self._shared.state_version += 1
+        self._shared.scene_version += 1
         if order is not None and self.order != order:
             self.order = order
-            self._is_unchanged = 0
+            self._shared.registry.unchanged[self._slot] = 0
+        if order is None:
+            self.order = None
         self._shared.geom_id_to_order[self.geom_id_value] = order
+        self._sync_valid()
 
     def is_enabled(self) -> bool:
         return self.is_enabled_value
 
     def set_is_enabled(self, is_enabled: bool) -> "Layer":
         if self.is_enabled_value != is_enabled:
-            self._shared.state_version += 1
-        self.is_enabled_value = is_enabled
+            self._shared.scene_version += 1
+            self.is_enabled_value = is_enabled
+            self._shared.registry.unchanged[self._slot] = 0
+            self._sync_valid()
         return self
 
     def disable(self) -> "Layer":
@@ -257,7 +368,8 @@ class Layer:
 
     def set_transform(self, transform) -> "Layer":
         """Sets a geometry-preserving transform; identity clears it
-        (`composition/layer.rs:299-311`)."""
+        (`composition/layer.rs:299-311`).  Raises `GeomPresTransformError`
+        when the transform scales up (`transform.rs:109-131`)."""
         if isinstance(transform, (list, tuple)):
             transform = AffineTransform.from_array(transform)
         if isinstance(transform, AffineTransform):
@@ -266,32 +378,44 @@ class Layer:
             else:
                 gp = GeomPresTransform.try_new(transform)
                 if gp is None:
-                    raise ValueError(
+                    raise GeomPresTransformError(
                         "transform scales up beyond the geometry-preserving limit"
                     )
         else:
             gp = transform
-        if self.affine_transform_value != gp:
-            self._is_unchanged = 0
-            self._shared.state_version += 1
-            self.affine_transform_value = gp
+        reg = self._shared.registry
+        if gp is None:
+            new6, new_has = _IDENTITY6, False
+        else:
+            new6 = np.asarray(gp.as_slice(), np.float32)
+            new_has = True
+        if new_has != bool(reg.has_t[self._slot]) or (
+            new_has and not np.array_equal(new6, reg.tform[self._slot])
+        ):
+            reg.unchanged[self._slot] = 0
+            self._shared.tform_version += 1
+            reg.tform[self._slot] = new6
+            reg.has_t[self._slot] = new_has
         return self
 
     def set_props(self, props: Props) -> "Layer":
         if self.props != props:
-            self._is_unchanged = 0
-            self._shared.state_version += 1
-            self.props = props
+            self._shared.registry.unchanged[self._slot] = 0
+            self._shared.style_version += 1
+            interner = self._shared.props_interner
+            interner.release(self._props_cell_box[0])
+            self._props_cell_box[0] = interner.acquire(props)
         return self
 
     def is_unchanged(self, cache_id: int) -> bool:
-        return bool(self._is_unchanged & (1 << cache_id))
+        return bool(int(self._shared.registry.unchanged[self._slot]) & (1 << cache_id))
 
     def set_is_unchanged(self, cache_id: int, is_unchanged: bool):
+        reg = self._shared.registry
         if is_unchanged:
-            self._is_unchanged |= 1 << cache_id
+            reg.unchanged[self._slot] |= np.uint32(1 << cache_id)
         else:
-            self._is_unchanged &= ~(1 << cache_id)
+            reg.unchanged[self._slot] &= np.uint32(~(1 << cache_id) & 0xFFFFFFFF)
 
 
 class Composition:
@@ -301,9 +425,59 @@ class Composition:
     def __init__(self):
         self._shared = _SharedState()
         self.layers: Dict[Order, Layer] = {}
+        self._osm_key = None
+        self._osm = None
 
     def create_layer(self) -> Layer:
         return Layer(self._shared, self._shared.new_geom_id())
+
+    def _order_slot_map(self):
+        """Sorted (orders u32, slots i32) arrays; rebuilt on membership change."""
+        key = self._shared.scene_version
+        if self._osm_key != key:
+            items = sorted((o.as_u32(), l._slot) for o, l in self.layers.items())
+            self._osm = (
+                np.asarray([o for o, _ in items], np.uint32),
+                np.asarray([s for _, s in items], np.int32),
+            )
+            self._osm_key = key
+        return self._osm
+
+    def set_transforms(self, orders, transforms) -> None:
+        """Bulk geometry-preserving transform update — one vectorized write.
+
+        `orders`: int array [N]; `transforms`: f32 [N, 6] rows of
+        (ux, uy, vx, vy, tx, ty).  The batch equivalent of calling
+        `layer.set_transform` N times; per-frame animation over thousands of
+        layers stays device-bound instead of Python-bound.  Raises
+        `GeomPresTransformError` if any transform scales up
+        (`transform.rs:109-131`).
+        """
+        from .math import _MAX_SCALING_FACTOR_X, _MAX_SCALING_FACTOR_Y
+
+        t = np.ascontiguousarray(np.asarray(transforms, np.float32).reshape(-1, 6))
+        orders = np.asarray(orders, np.uint32).ravel()
+        if t.shape[0] != orders.shape[0]:
+            raise ValueError("orders and transforms length mismatch")
+        su = t[:, 0] * t[:, 0] + t[:, 1] * t[:, 1]
+        sv = t[:, 2] * t[:, 2] + t[:, 3] * t[:, 3]
+        if (su > np.float32(_MAX_SCALING_FACTOR_X) ** 2).any() or (
+            sv > np.float32(_MAX_SCALING_FACTOR_Y) ** 2
+        ).any():
+            raise GeomPresTransformError(
+                "transform scales up beyond the geometry-preserving limit"
+            )
+        sorted_orders, sorted_slots = self._order_slot_map()
+        pos = np.searchsorted(sorted_orders, orders)
+        pos = np.minimum(pos, max(len(sorted_orders) - 1, 0))
+        if len(sorted_orders) == 0 or not np.array_equal(sorted_orders[pos], orders):
+            raise KeyError("set_transforms: some orders have no layer")
+        slots = sorted_slots[pos]
+        reg = self._shared.registry
+        reg.tform[slots] = t
+        reg.has_t[slots] = (t != _IDENTITY6).any(axis=1)
+        reg.unchanged[slots] = 0
+        self._shared.tform_version += 1
 
     def is_empty(self) -> bool:
         return not self.layers

@@ -75,14 +75,25 @@ def main(argv=None):
             return _render(comp, args.width, args.height, clear_color=Color(1, 1, 1, 1))
 
     else:
+        import numpy as np
+
+        from forma_tpu import Buffer, LinearLayout
         from forma_tpu.renderer import Renderer
 
         renderer = Renderer()
+        # Damage cache: animated demos (spaceship) repaint only changed
+        # tiles, the reference's incremental-update showcase.
+        cache = renderer.create_buffer_layer_cache()
+        backing = np.zeros((args.height, args.width * 4), np.uint8)
+        buf = Buffer(
+            buffer=backing,
+            layout=LinearLayout(args.width, args.width * 4, args.height),
+            layer_cache=cache,
+        )
 
         def render():
-            return renderer.render(
-                comp, args.width, args.height, clear_color=Color(1, 1, 1, 1)
-            )
+            renderer.render_into(comp, buf, Color(1, 1, 1, 1))
+            return backing.reshape(args.height, args.width, 4)
 
     times = []
     for i in range(args.frames):

@@ -4,6 +4,12 @@ The XLA counterpart of `SegmentBuffer::fill_cpu_view`
 (`forma/src/segment.rs:275-402`): one fused elementwise pass over the SoA
 line arrays — per-geometry gather, affine transform, cull, grid-crossing
 coefficients, Manhattan lengths — followed by `jnp.cumsum`.
+
+v2: all per-line quantities, including the ff64 progression constants the
+rasterizer needs (`rasterizer.wgsl:294-323`), are packed into ONE [L, 14]
+f32 matrix + ONE [L, 2] i32 matrix, so the virtual-line expansion
+downstream costs two row-gathers instead of ten scalar gathers — on TPU,
+gather cost is per *row*, not per element.
 """
 
 from __future__ import annotations
@@ -14,30 +20,38 @@ import jax
 import jax.numpy as jnp
 
 from .. import consts
+from . import ff64
+
+# params_f32 column layout:
+PX0, PY0, PDX, PDY, PA, PB, PC, PD = range(8)
+PAOH, PAOL, PBOH, PBOL, PCDH, PCDL = range(8, 14)
+N_PARAMS = 14
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
+@partial(jax.jit, static_argnames=("width", "height", "k_seg"))
 def line_setup(
     px,  # f32 [L+1] point x
     py,  # f32 [L+1] point y
     line_slot,  # i32 [L]  index into geometry tables, -1 = no line
-    g_order,  # u32 [G]
+    g_slot,  # i32 [G]  layer style slot (index into st_orders), -1 = none
     g_valid,  # bool [G]  enabled & bound to an order
     g_t,  # f32 [G, 6]  affine transform (ux, uy, vx, vy, tx, ty)
     g_has_t,  # bool [G]
     width: int,
     height: int,
+    k_seg: int = 8,
 ):
-    """Returns (orders, x0, y0, dx, dy, a, b, c, d, sum_lengths)."""
+    """Returns (params f32 [L, 14], slots i32 [L], lengths i32 [L],
+    vline_ends u32 [L] inclusive-cumsum of per-line virtual-line counts)."""
     p0x, p0y = px[:-1], py[:-1]
     p1x, p1y = px[1:], py[1:]
 
-    slot = jnp.maximum(line_slot, 0)
-    valid = (line_slot >= 0) & g_valid[slot]
-    orders = g_order[slot]
+    gi = jnp.maximum(line_slot, 0)
+    valid = (line_slot >= 0) & g_valid[gi] & (g_slot[gi] >= 0)
+    slots = jnp.where(valid, g_slot[gi], 0).astype(jnp.int32)
 
-    t = g_t[slot]
-    has_t = g_has_t[slot]
+    t = g_t[gi]
+    has_t = g_has_t[gi]
     tp0x = t[:, 0] * p0x + (t[:, 2] * p0y + t[:, 4])
     tp0y = t[:, 1] * p0x + (t[:, 3] * p0y + t[:, 5])
     tp1x = t[:, 0] * p1x + (t[:, 2] * p1y + t[:, 4])
@@ -75,29 +89,56 @@ def line_setup(
 
     a = jnp.abs(dx_recip)
     b = jnp.abs(dy_recip)
+    c = t_offset_x
+    d = t_offset_y
 
     def integers_between(u, v):
         mn = jnp.minimum(u, v)
         mx = jnp.maximum(u, v)
         return jnp.maximum((jnp.ceil(mx) - jnp.floor(mn) - 1.0).astype(jnp.int32), 0)
 
-    lengths = (
-        integers_between(p0x, p1x) + integers_between(p0y, p1y) + 1
-    ).astype(jnp.uint32)
-    lengths = jnp.where(valid, lengths, jnp.uint32(0))
+    lengths = integers_between(p0x, p1x) + integers_between(p0y, p1y) + 1
+    lengths = jnp.where(valid, lengths, 0)
+
+    # ff64 progression constants, hoisted to line granularity
+    # (`rasterizer.wgsl:294-323`; round 1 recomputed them per pixel segment).
+    s = a + b
+    degenerate = ~jnp.isfinite(s)
+    sum_ff = ff64.add(ff64.ff(a), ff64.ff(b))
+    recip = ff64.div(ff64.ff(jnp.ones_like(a)), sum_ff)
+
+    def sel_ff(x):
+        return ff64.FF(
+            jnp.where(degenerate, 0.0, x.hi), jnp.where(degenerate, 0.0, x.lo)
+        )
+
+    a_over = sel_ff(ff64.mul(ff64.ff(a), recip))
+    b_over = sel_ff(ff64.mul(ff64.ff(b), recip))
+    cd_over = sel_ff(ff64.mul(ff64.sub(ff64.ff(c), ff64.ff(d)), recip))
 
     pw = jnp.float32(consts.PIXEL_WIDTH)
     z = jnp.float32(0.0)
     sel = lambda v: jnp.where(valid, v, z)  # noqa: E731
-    return (
-        jnp.where(valid, orders, 0).astype(jnp.uint32),
-        sel(p0x * pw),
-        sel(p0y * pw),
-        sel(dx * pw),
-        sel(dy * pw),
-        sel(a),
-        sel(b),
-        sel(t_offset_x),
-        sel(t_offset_y),
-        jnp.cumsum(lengths, dtype=jnp.uint32),
+    params = jnp.stack(
+        [
+            sel(p0x * pw),
+            sel(p0y * pw),
+            sel(dx * pw),
+            sel(dy * pw),
+            sel(a),
+            sel(b),
+            sel(c),
+            sel(d),
+            sel(a_over.hi),
+            sel(a_over.lo),
+            sel(b_over.hi),
+            sel(b_over.lo),
+            sel(cd_over.hi),
+            sel(cd_over.lo),
+        ],
+        axis=1,
     )
+
+    n_v = -(-lengths // k_seg)  # ceil; 0 for culled lines
+    vline_ends = jnp.cumsum(n_v.astype(jnp.uint32), dtype=jnp.uint32)
+    return params, slots, lengths, vline_ends

@@ -1,20 +1,25 @@
-"""Device paint: per-tile K-slot blend fold over dense coverage grids.
+"""Device paint: per-tile K-slot blend fold over run-indexed packed grids.
 
 The XLA counterpart of `Painter::paint_tile_row` + the layer workbench
-(`forma/src/cpu/painter/`).  Instead of walking tiles sequentially, every
-(tile, layer) paint unit gets a dense 16x16 coverage grid:
+(`forma/src/cpu/painter/`).  Every (tile, layer) paint unit references its
+run's packed 16x16 area|cover grid; tiles blend their units bottom-to-top in
+a `fori_loop` over K slots — every tile blends slot k of its own unit list
+simultaneously, so the whole framebuffer advances one layer per step on the
+VPU.  Blending a zero-coverage unit is a no-op, which is what makes the
+dense fold equivalent to the reference's sparse per-tile layer lists.
 
-    DA = PIXEL_DOUBLE_WIDTH * (carry_in + exclusive-cumsum_x(covers)) + areas
+v2 performance structure (TPU cost model: row gathers ~free, per-element
+gathers ~8ns each):
 
-and tiles blend their units bottom-to-top in a `fori_loop` over K slots —
-every tile blends slot k of its own unit list simultaneously, so the whole
-framebuffer advances one layer per step on the VPU.  Blending a zero-coverage
-unit is a no-op, which is what makes the dense fold equivalent to the
-reference's sparse per-tile layer lists.
-
-Fill evaluation (solid / gradient / texture-atlas) and the 16 blend modes
-follow `painter/styling.rs` select-tree semantics; modes and fill kinds that
-the frame doesn't use compile away via the static `features` tuple.
+- the fold's only big memory op per step is a ROW gather of [T, 256] packed
+  i32 grid rows; coverage integration (carry + exclusive cumsum) happens
+  inside the step, so no [U, 16, 16] f32 coverage tensor ever materialises;
+- full-cover opaque units cull everything beneath them per tile (the
+  `skip_fully_covered_layers` pass, `passes/skip_fully_covered_layers.rs`),
+  then units re-sort so the fold runs only over surviving depth;
+- fill evaluation (solid / gradient / texture-atlas) and the 16 blend modes
+  follow `painter/styling.rs` select-tree semantics; modes and fill kinds
+  the frame doesn't use compile away via the static `features` tuple.
 """
 
 from __future__ import annotations
@@ -27,10 +32,16 @@ import jax.numpy as jnp
 
 from .. import consts
 from .rasterize import SENTINEL, TX_BITS
+from .runs import _first_of_group, unpack_grid
 
 TH = consts.TILE_HEIGHT
 TW = consts.TILE_WIDTH
 _PDA = consts.PIXEL_DOUBLE_AREA  # 512
+
+# virt_u flag bits (see runs.run_data / build_units callers).
+FLAG_VIRTUAL = 1
+FLAG_FULL_OPAQUE = 2
+FLAG_CLIP = 4
 
 
 class Features(NamedTuple):
@@ -42,18 +53,14 @@ class Features(NamedTuple):
     has_clip: bool = False
 
 
-def _coverage(da, fill_rule):
-    """doubled area i32 -> coverage f32, vectorised over per-unit fill rules
-    (`painter/mod.rs:76-94`)."""
+def _coverage(da, fill_rule_is_eo):
+    """doubled area i32 -> coverage f32 (`painter/mod.rs:76-94`);
+    fill_rule_is_eo broadcasts against da."""
     recip = jnp.float32(1.0 / _PDA)
     nz = jnp.clip(jnp.abs(da.astype(jnp.float32) * recip), 0.0, 1.0)
     folded = _PDA - jnp.abs((da & (2 * _PDA - 1)) - _PDA)
     eo = folded.astype(jnp.float32) * recip
-    return jnp.where(fill_rule[:, None, None] == 1, eo, nz)
-
-
-def _style_index(st_orders, layer):
-    return jnp.minimum(jnp.searchsorted(st_orders, layer), st_orders.shape[0] - 1)
+    return jnp.where(fill_rule_is_eo, eo, nz)
 
 
 # -- fills -------------------------------------------------------------------
@@ -238,6 +245,71 @@ def _blend(blend_code, modes, dr, dg, db, sr, sg, sb):
     return blended
 
 
+# -- occlusion culling --------------------------------------------------------
+
+
+def _seg_cummax(gid, values):
+    """Segmented prefix max over `values` within equal-gid groups (gid
+    nondecreasing).  associative_scan with the classic segmented-max
+    operator: log(n) elementwise passes, no gathers, no width limits."""
+
+    def op(a, b):
+        ag, av = a
+        bg, bv = b
+        return bg, jnp.where(bg == ag, jnp.maximum(av, bv), bv)
+
+    _, out = jax.lax.associative_scan(op, (gid, values))
+    return out
+
+
+@jax.jit
+def cull_units(key_u, layer_u, src_u, virt_u, k_u, u_valid):
+    """Drops every unit hidden beneath a full-cover opaque unit of its tile
+    (`skip_fully_covered_layers.rs:27-119`) and re-sorts survivors.
+
+    virt_u carries FLAG_* bits computed upstream.  Tiles containing any clip
+    unit are left untouched (clip masks must still accumulate).
+    """
+    n = key_u.shape[0]
+    new_tile = key_u != jnp.roll(key_u, 1)
+    new_tile = new_tile.at[0].set(True)
+
+    full_opaque = ((virt_u & FLAG_FULL_OPAQUE) != 0) & u_valid
+    is_clip = ((virt_u & FLAG_CLIP) != 0) & u_valid
+
+    def rev(x):
+        return jnp.flip(x, axis=0)
+
+    # Reverse-segmented cummax of (full_opaque ? k+1 : 0): for each unit, the
+    # highest full-opaque slot at-or-after it within its tile.
+    tail_new = jnp.roll(new_tile, -1).at[-1].set(True)  # last of each group
+    gid_r = jnp.cumsum(rev(tail_new).astype(jnp.int32))
+    fo_k1 = jnp.where(full_opaque, k_u + 1, 0)
+    k_top1 = rev(_seg_cummax(gid_r, rev(fo_k1)))
+
+    # Tile-has-clip = segmented any over the whole group: forward "at or
+    # before" OR reverse "at or after".
+    gid_f = jnp.cumsum(new_tile.astype(jnp.int32))
+    clip_v = is_clip.astype(jnp.int32)
+    clip_fwd = _seg_cummax(gid_f, clip_v)
+    clip_rev = rev(_seg_cummax(gid_r, rev(clip_v)))
+    tile_has_clip = (clip_fwd | clip_rev) > 0
+
+    keep = u_valid & ((k_u + 1 >= k_top1) | tile_has_clip)
+
+    key2 = jnp.where(keep, key_u, SENTINEL)
+    key2, layer_u, src_u, virt_u = jax.lax.sort(
+        (key2, layer_u, src_u, virt_u), num_keys=2
+    )
+    new_tile2 = key2 != jnp.roll(key2, 1)
+    new_tile2 = new_tile2.at[0].set(True)
+    first2 = _first_of_group(new_tile2)
+    k2 = jnp.arange(n, dtype=jnp.int32) - first2
+    u_valid2 = key2 != SENTINEL
+    k_needed = jnp.max(jnp.where(u_valid2, k2, -1)) + 1
+    return key2, layer_u, src_u, virt_u, k2, u_valid2, k_needed
+
+
 # -- the fold -----------------------------------------------------------------
 
 
@@ -246,30 +318,30 @@ def _blend(blend_code, modes, dr, dg, db, sr, sg, sb):
     static_argnames=("rows", "tiles_x", "k_slots", "features"),
 )
 def paint(
-    # paint units (sorted by (tile, layer)):
+    # paint units (sorted by (tile, layer), culled):
     key_u,
     layer_u,
     src_u,
-    virt_u,
+    virt_u,  # FLAG_* bits
     k_u,
     u_valid,
-    # per-run grids:
-    area_grid,
-    cover_grid,
-    carry_in,
-    carry_after_s,
+    # per-run data:
+    grid,  # [run_cap, 256] packed area|cover i32
+    carry_in,  # [run_cap, 16] i32 (original run order)
+    carry_after_s,  # [run_cap, 16] i32 ((row,layer,tx)-sorted order)
     # style tables:
-    st_orders,
-    st_fill_rule,
+    st_orders,  # u32 [SL] sorted layer ids
+    st_pidx,  # i32 [SL] layer slot -> distinct-props row
+    st_fill_rule,  # i32 [P]
     st_func,  # 0 draw, 1 clip
     st_clip_n,
     st_is_clipped,
     st_blend,
     st_fill_type,  # 0 solid, 1 gradient, 2 texture
-    st_color,  # [SL, 4]
-    st_grad,  # [SL, 6]
-    st_stops,  # [SL, MS, 5]
-    st_tex,  # [SL, 10]
+    st_color,  # [P, 4]
+    st_grad,  # [P, 6]
+    st_stops,  # [P, MS, 5]
+    st_tex,  # [P, 10]
     atlas,  # [AH, AW, 4]
     clear_color,  # f32 [4]
     rows: int,
@@ -278,6 +350,7 @@ def paint(
     features: Features,
     row_lo=0,  # traced: absolute index of this shard's first tile row
     k_active=None,  # traced: actual max slots this frame (<= k_slots)
+    tile_unchanged=None,  # traced bool [T]: tiles to skip (damage cache/crop)
 ):
     """Returns the painted frame as linear f32 [rows*16, tiles_x*16, 4].
 
@@ -286,23 +359,7 @@ def paint(
     """
     n_tiles = rows * tiles_x
     u_cap = key_u.shape[0]
-
-    # Per-unit coverage grids.
-    exc = jnp.cumsum(cover_grid, axis=2) - cover_grid
-    acc = carry_in[:, :, None] + exc
-    da_real = consts.PIXEL_DOUBLE_WIDTH * acc + area_grid  # [R, 16, 16]
-
-    src = src_u
-    da_u = jnp.where(
-        (virt_u == 1)[:, None, None],
-        consts.PIXEL_DOUBLE_WIDTH * carry_after_s[src][:, :, None],
-        da_real[src],
-    )
-    # layer_u carries style slots (indices into the style tables); slot order
-    # equals layer-id order, and real ids are recovered from st_orders only
-    # where clip bookkeeping needs arithmetic on them.
-    sidx_u = jnp.minimum(layer_u.astype(jnp.int32), st_orders.shape[0] - 1)
-    cov_u = _coverage(da_u, st_fill_rule[sidx_u])  # [U, 16, 16] f32
+    run_cap = grid.shape[0]
 
     # Per-tile slot table.
     rowb = (key_u >> TX_BITS).astype(jnp.int32) - 1
@@ -315,7 +372,6 @@ def paint(
         .at[tile_t, jnp.minimum(k_u, k_slots - 1)]
         .set(jnp.arange(u_cap, dtype=jnp.int32), mode="drop")
     )
-    table_kt = table.T  # [K, T]
 
     # Global pixel coordinates per tile.
     t_idx = jnp.arange(n_tiles, dtype=jnp.int32)
@@ -341,13 +397,35 @@ def paint(
 
     def step(k, state):
         dst, clip_mask, clip_last = state
-        u = jax.lax.dynamic_index_in_dim(table_kt, k, axis=0, keepdims=False)
+        u = jax.lax.dynamic_index_in_dim(table.T, k, axis=0, keepdims=False)
         present = u >= 0
+        if tile_unchanged is not None:
+            present &= ~tile_unchanged
         uc = jnp.maximum(u, 0)
 
-        cov = cov_u[uc] * present[:, None, None]
-        si = sidx_u[uc]
-        layer = (st_orders[si] & jnp.uint32(consts.LAYER_LIMIT)).astype(jnp.int32)
+        # Tiny per-tile gathers (T indices) for unit metadata.
+        slot = jnp.minimum(layer_u[uc].astype(jnp.int32), st_orders.shape[0] - 1)
+        src = jnp.minimum(src_u[uc], run_cap - 1)
+        virt = (virt_u[uc] & FLAG_VIRTUAL) != 0
+        si = st_pidx[slot]
+        layer = (st_orders[slot] & jnp.uint32(consts.LAYER_LIMIT)).astype(
+            jnp.int32
+        )
+
+        # Row gathers: packed grid + carries; integrate coverage in-step.
+        g = grid[src]  # [T, 256] i32
+        area, cover = unpack_grid(g)
+        area = jnp.where(virt[:, None], 0, area).reshape(shape)
+        cover = jnp.where(virt[:, None], 0, cover).reshape(shape)
+        carry_r = carry_in[src]  # [T, 16]
+        carry_v = carry_after_s[src]
+        carry = jnp.where(virt[:, None], carry_v, carry_r)
+
+        exc = jnp.cumsum(cover, axis=2) - cover
+        acc = carry[:, :, None] + exc
+        da = consts.PIXEL_DOUBLE_WIDTH * acc + area
+        cov = _coverage(da, (st_fill_rule[si] == 1)[:, None, None])
+        cov = cov * present[:, None, None]
 
         func = st_func[si]
         is_clip_unit = present & (func == 1)
@@ -369,12 +447,12 @@ def paint(
         fill = [color[:, ch][:, None, None] * jnp.ones(shape[1:]) for ch in range(4)]
         if features.has_gradient:
             gf = _gradient_at(st_grad[si], st_stops[si], xg, yg)
-            sel = (ftype == 1)[:, None, None]
-            fill = [jnp.where(sel, g, f) for g, f in zip(gf, fill)]
+            selg = (ftype == 1)[:, None, None]
+            fill = [jnp.where(selg, gg, f) for gg, f in zip(gf, fill)]
         if features.has_texture:
             tf = _texture_at(st_tex[si], atlas, xg, yg)
-            sel = (ftype == 2)[:, None, None]
-            fill = [jnp.where(sel, t, f) for t, f in zip(tf, fill)]
+            selt = (ftype == 2)[:, None, None]
+            fill = [jnp.where(selt, t, f) for t, f in zip(tf, fill)]
 
         src_a = fill[3] * cov
         if features.has_clip:

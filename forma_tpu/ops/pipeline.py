@@ -1,11 +1,12 @@
 """Single-dispatch device pipeline and its multi-chip sharding.
 
-`render_frame` fuses every stage — line setup, rasterize, sort, runs,
-carries, units, paint, sRGB — into ONE jittable program with static capacity
-buckets and no host round-trips.  It returns the packed frame plus a small
-diagnostics vector (actual totals vs capacities); the renderer fetches both
-in a single device sync and re-renders with bigger buckets only on overflow
-(optimistic capacities).
+`render_frame` fuses every stage — line setup, virtual-line expansion,
+rasterize, sort, runs, carries, units, occlusion culling, paint, sRGB —
+into ONE jittable program with static capacity buckets and no host
+round-trips.  It returns the packed frame plus a small diagnostics vector
+(actual totals vs capacities); the renderer fetches both in a single device
+sync and re-renders with bigger buckets only on overflow (optimistic
+capacities).
 
 `render_frame_sharded` wraps the same program in `jax.shard_map` over a 1D
 device mesh, splitting the framebuffer by tile rows: geometry and styles are
@@ -30,111 +31,238 @@ from . import runs as _runs
 from . import srgb as _srgb
 from .paint import Features
 
+K_SEG = 8  # pixel segments per virtual line
+
 
 class Caps(NamedTuple):
     """Static capacity buckets for one compiled pipeline configuration."""
 
-    seg: int = 1024
+    vline: int = 512  # virtual lines (each up to K_SEG pixel segments)
     run: int = 512
     virt: int = 512
     k: int = 4
 
 
 # Indices into the diagnostics vector.
-DIAG_TOTAL, DIAG_RUNS, DIAG_VIRT, DIAG_K = range(4)
+DIAG_VLINES, DIAG_RUNS, DIAG_VIRT, DIAG_K, DIAG_SEGS = range(5)
+
+
+def _unit_tiles(key_u, u_valid, tiles_x, n_tiles):
+    from .rasterize import TX_BITS
+
+    rowb = (key_u >> TX_BITS).astype(jnp.int32) - 1
+    txu = (key_u & jnp.uint32((1 << TX_BITS) - 1)).astype(jnp.int32) - 1
+    return jnp.where(u_valid, rowb * tiles_x + txu, n_tiles)
 
 
 def _core(
     px, py, line_slot,
-    g_order, g_valid, g_t, g_has_t,
+    g_slot, g_valid, g_t, g_has_t,
     st, clear, row_lo,
     width: int, height: int, rows: int, tiles_x: int,
     caps: Caps, features: Features, channels,
+    cull: bool = True,
+    cache=None,  # (prev_frame u8, prev_counts i32 [T], st_unchanged bool [SL], cache_ok bool)
+    crop_x=None,  # traced (tile_x_lo, tile_x_hi): tiles outside skip painting
 ):
-    (orders, x0, y0, dx, dy, a, b, c, d, sum_lengths) = _ls.line_setup(
-        px, py, line_slot, g_order, g_valid, g_t, g_has_t, width, height
+    params, slots, lengths, vline_ends = _ls.line_setup(
+        px, py, line_slot, g_slot, g_valid, g_t, g_has_t, width, height,
+        k_seg=K_SEG,
     )
-    total = sum_lengths[-1]
+    v_total = vline_ends[-1]
+    total_segs = jnp.sum(lengths, dtype=jnp.int32)
 
     # Pack the sort key into one u32 when [row | tx | slot] fits.
     sl = st["orders"].shape[0]
     slot_bits = max((sl - 1).bit_length(), 1)
     row_bits = (rows + 1).bit_length()
     tx_bits = max((tiles_x + 1).bit_length(), 1)
-    if row_bits + tx_bits + slot_bits > 32:
+    if row_bits + tx_bits + slot_bits > 31:
         slot_bits = 0  # fall back to the two-key sort
     key_hi, key_lo, payload = _raster.rasterize_sort(
-        orders, x0, y0, dx, dy, a, b, c, d, sum_lengths,
-        jnp.minimum(total, jnp.uint32(caps.seg)),
-        caps.seg, rows, tiles_x, row_lo,
-        st_orders=st["orders"], slot_bits=slot_bits,
+        params, slots, lengths, vline_ends,
+        jnp.minimum(v_total, jnp.uint32(caps.vline)),
+        caps.vline, K_SEG, rows, tiles_x, row_lo,
+        slot_bits=slot_bits,
     )
 
-    run_id, num_runs = _runs.extract_runs(key_hi, key_lo)
+    run_id, num_runs, new_run = _runs.extract_runs(key_hi, key_lo)
+
+    st_opaque = (
+        (st["func"] == 0)
+        & (st["fill_type"] == 0)
+        & (st["color"][:, 3] == 1.0)
+        & (st["blend"] == 0)
+        & (~st["is_clipped"])
+    )
+    st_isclip = st["func"] == 1
+
     rd = _runs.run_data(
-        key_hi, key_lo, payload, run_id, jnp.minimum(num_runs, caps.run),
-        st["orders"], st["fill_rule"], caps.run, tiles_x,
+        key_hi, key_lo, payload, run_id, new_run,
+        jnp.minimum(num_runs, caps.run),
+        st["pidx"], st["fill_rule"], st_opaque, st_isclip,
+        caps.run, tiles_x,
     )
 
-    key_u, layer_u, src_u, virt_u, k_u, u_valid, k_needed = _runs.build_units(
-        rd["run_hi"], rd["run_layer"], rd["r_valid"],
-        rd["key2_s"], rd["tx_s"], rd["span"], rd["cumspan"],
+    key_u, layer_u, src_u, virt_u, k_u, u_valid, k_pre = _runs.build_units(
+        rd["run_hi"], rd["run_layer"], rd["r_valid"], rd["real_flags"],
+        rd["key2_s"], rd["tx_s"], rd["gap_flags_s"],
+        rd["span"], rd["cumspan"],
         jnp.minimum(rd["v_total"], caps.virt),
         caps.virt,
     )
 
+    n_tiles = rows * tiles_x
+    counts = None
+    tile_unch = None
+    if cache is not None:
+        # tile_unchanged (`passes/tile_unchanged.rs:24-57`): a tile whose
+        # unit count matches the cached count AND whose every layer is
+        # unchanged re-emits the previous frame's pixels.  Counts are
+        # pre-cull so they're stable across optimizer decisions.
+        prev_frame, prev_counts, st_unchanged, cache_ok = cache
+        tile_of = _unit_tiles(key_u, u_valid, tiles_x, n_tiles)
+        counts = (
+            jnp.zeros((n_tiles,), jnp.int32)
+            .at[tile_of]
+            .add(1, mode="drop")
+        )
+        slot_u = jnp.minimum(layer_u.astype(jnp.int32), st["orders"].shape[0] - 1)
+        unch_u = jnp.where(u_valid, st_unchanged[slot_u].astype(jnp.int32), 1)
+        all_unch = (
+            jnp.ones((n_tiles,), jnp.int32)
+            .at[tile_of]
+            .min(unch_u, mode="drop")
+        )
+        tile_unch = cache_ok & (counts == prev_counts) & (all_unch == 1)
+
+    if cull:
+        key_u, layer_u, src_u, virt_u, k_u, u_valid, k_needed = (
+            _paint.cull_units(key_u, layer_u, src_u, virt_u, k_u, u_valid)
+        )
+    else:
+        k_needed = k_pre
+
+    tile_skip = tile_unch
+    if crop_x is not None:
+        # Tiles outside the crop never paint (`cpu/renderer.rs:38-53` +
+        # `painter/mod.rs:504-516`); covers still carry correctly because
+        # carries come from the run chains, not painted tiles.
+        tx_t = jnp.arange(n_tiles, dtype=jnp.int32) % tiles_x
+        out_of_crop = (tx_t < crop_x[0]) | (tx_t >= crop_x[1])
+        tile_skip = out_of_crop if tile_skip is None else (tile_skip | out_of_crop)
+
+    if cache is not None or crop_x is not None:
+        # Depth needed over painted tiles only.
+        tile_of2 = _unit_tiles(key_u, u_valid, tiles_x, n_tiles)
+        kmax_t = (
+            jnp.zeros((n_tiles,), jnp.int32)
+            .at[tile_of2]
+            .max(k_u + 1, mode="drop")
+        )
+        k_needed = jnp.max(jnp.where(tile_skip, 0, kmax_t))
+
     frame = _paint.paint(
         key_u, layer_u, src_u, virt_u, k_u, u_valid,
-        rd["area_grid"], rd["cover_grid"], rd["carry_in"], rd["carry_after_s"],
-        st["orders"], st["fill_rule"], st["func"], st["clip_n"],
+        rd["grid"], rd["carry_in"], rd["carry_after_s"],
+        st["orders"], st["pidx"], st["fill_rule"], st["func"], st["clip_n"],
         st["is_clipped"], st["blend"], st["fill_type"], st["color"],
         st["grad"], st["stops"], st["tex"], st["atlas"], clear,
         rows, tiles_x, caps.k, features, row_lo,
         k_active=jnp.minimum(k_needed, caps.k),
+        tile_unchanged=tile_skip,
     )
     packed = _srgb.pack_srgb(frame, channels)
 
+    if cache is not None:
+        pix_unch = jnp.repeat(
+            jnp.repeat(
+                tile_unch.reshape(rows, tiles_x), consts.TILE_HEIGHT, axis=0
+            ),
+            consts.TILE_WIDTH,
+            axis=1,
+        )
+        packed = jnp.where(pix_unch[:, :, None], prev_frame, packed)
+
     diag = jnp.stack(
         [
-            total.astype(jnp.int32),
+            v_total.astype(jnp.int32),
             num_runs.astype(jnp.int32),
             rd["v_total"].astype(jnp.int32),
             k_needed.astype(jnp.int32),
+            total_segs,
         ]
     )
+    if cache is not None:
+        return packed, diag, counts
     return packed, diag
 
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "rows", "tiles_x", "caps", "features", "channels"),
+    static_argnames=(
+        "width", "height", "rows", "tiles_x", "caps", "features", "channels", "cull",
+    ),
 )
 def render_frame(
     px, py, line_slot,
-    g_order, g_valid, g_t, g_has_t,
+    g_slot, g_valid, g_t, g_has_t,
     st, clear,
     width: int, height: int, rows: int, tiles_x: int,
     caps: Caps, features: Features, channels,
+    cull: bool = True,
+    row_lo=None,  # traced: first tile row to render (crop), default 0
+    crop_x=None,  # traced (tile_x_lo, tile_x_hi) paint crop, default full
 ):
-    """Single-chip whole-frame render; returns (u8 frame, i32[4] diagnostics)."""
+    """Single-chip render of tile rows [row_lo, row_lo + rows); returns
+    (u8 frame, i32[5] diagnostics)."""
     return _core(
-        px, py, line_slot, g_order, g_valid, g_t, g_has_t, st, clear,
-        jnp.int32(0), width, height, rows, tiles_x, caps, features, channels,
+        px, py, line_slot, g_slot, g_valid, g_t, g_has_t, st, clear,
+        jnp.int32(0) if row_lo is None else row_lo,
+        width, height, rows, tiles_x, caps, features, channels,
+        cull, crop_x=crop_x,
     )
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "rows", "tiles_x", "caps", "features", "channels", "mesh",
+        "width", "height", "rows", "tiles_x", "caps", "features", "channels", "cull",
+    ),
+)
+def render_frame_cached(
+    px, py, line_slot,
+    g_slot, g_valid, g_t, g_has_t,
+    st, clear,
+    prev_frame, prev_counts, st_unchanged, cache_ok,
+    width: int, height: int, rows: int, tiles_x: int,
+    caps: Caps, features: Features, channels,
+    cull: bool = True,
+):
+    """Damage-aware render: unchanged tiles re-emit `prev_frame` pixels and
+    contribute nothing to the fold depth.  Returns (u8 frame, diag, per-tile
+    unit counts to store for the next frame)."""
+    return _core(
+        px, py, line_slot, g_slot, g_valid, g_t, g_has_t, st, clear,
+        jnp.int32(0), width, height, rows, tiles_x, caps, features, channels,
+        cull, cache=(prev_frame, prev_counts, st_unchanged, cache_ok),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "rows", "tiles_x", "caps", "features", "channels",
+        "mesh", "cull",
     ),
 )
 def render_frame_sharded(
     px, py, line_slot,
-    g_order, g_valid, g_t, g_has_t,
+    g_slot, g_valid, g_t, g_has_t,
     st, clear,
     width: int, height: int, rows: int, tiles_x: int,
     caps: Caps, features: Features, channels, mesh,
+    cull: bool = True,
 ):
     """Framebuffer-sharded render over a 1D mesh axis "rows".
 
@@ -144,13 +272,12 @@ def render_frame_sharded(
     """
     from jax.sharding import PartitionSpec as P
 
-    n_shards = mesh.shape["rows"]
-
-    def shard_fn(px, py, line_slot, g_order, g_valid, g_t, g_has_t, st, clear):
+    def shard_fn(px, py, line_slot, g_slot, g_valid, g_t, g_has_t, st, clear):
         row_lo = jax.lax.axis_index("rows").astype(jnp.int32) * rows
         frame, diag = _core(
-            px, py, line_slot, g_order, g_valid, g_t, g_has_t, st, clear,
+            px, py, line_slot, g_slot, g_valid, g_t, g_has_t, st, clear,
             row_lo, width, height, rows, tiles_x, caps, features, channels,
+            cull,
         )
         return frame, jax.lax.pmax(diag, "rows")
 
@@ -159,7 +286,7 @@ def render_frame_sharded(
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P("rows"), P()),
-    )(px, py, line_slot, g_order, g_valid, g_t, g_has_t, st, clear)
+    )(px, py, line_slot, g_slot, g_valid, g_t, g_has_t, st, clear)
 
 
 def style_tables_device(st) -> dict:
@@ -168,6 +295,7 @@ def style_tables_device(st) -> dict:
 
     return dict(
         orders=jnp.asarray(st.orders),
+        pidx=jnp.asarray(st.pidx),
         fill_rule=jnp.asarray(st.fill_rule),
         func=jnp.asarray(st.func),
         clip_n=jnp.asarray(st.clip_n),

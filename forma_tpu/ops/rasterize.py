@@ -1,21 +1,28 @@
 """Device rasterizer: lines -> sorted packed pixel segments.
 
 The XLA counterpart of `Rasterizer::{rasterize,sort}`
-(`forma/src/cpu/rasterizer.rs`).  Work is sharded per output pixel segment:
-slot i binary-searches the length prefix sum for its owning line (the same
-searchsorted trick as `PrefixScanIter` / `rasterizer.wgsl:199-214`), then
-computes the i-th element of the merged grid-crossing progressions in
-float-float arithmetic (`ops/ff64.py`) to match the reference CPU's f64.
+(`forma/src/cpu/rasterizer.rs`).  v2 reshapes the work to match TPU cost
+reality (gathers cost per row, elementwise is ~free):
 
-Pixel segments are packed into two u32 sort keys
+1. Lines expand into **virtual lines** of at most `k_seg` pixel segments
+   each (scatter + cumsum/cummax over the vline index space — the same
+   balanced-sharding job as `PrefixScanIter` / `findLineId`,
+   `rasterizer.wgsl:199-214`, without any per-segment binary search).
+2. Per-line parameters arrive via two ROW gathers ([V, 14] f32, [V, 2] i32).
+3. The i-th-intersection math (`rasterizer.rs:22-76`) runs densely over
+   [V, k_seg] in float-float arithmetic (`ops/ff64.py`) — pure elementwise.
+4. One `jax.lax.sort` orders the packed (tile_y, tile_x, layer-slot) key
+   with a packed payload; padding slots carry the 0xFFFFFFFF sentinel and
+   sort to the end.
+
+Pixel segments pack as
 
     key_hi = (tile_y + 1) << 13 | (tile_x + 1)       (sentinel 0xFFFFFFFF)
-    key_lo = layer_id
+    key_lo = layer style slot
+    payload = local_x << 21 | local_y << 17 | (area + 1024) << 6 | (cover + 16)
 
-plus two u32 payload words; `jax.lax.sort` with num_keys=2 reproduces the
-reference's (tile_y, tile_x, layer) u64 ordering.  Payload sub-fields
-(local x/y, area, cover) need no sorting because downstream accumulation is
-integer addition.
+and when row/tx/slot bits fit in 31, the two keys fuse into ONE u32 so the
+sort moves half the key bytes.
 """
 
 from __future__ import annotations
@@ -27,14 +34,32 @@ import jax.numpy as jnp
 
 from .. import consts
 from . import ff64
+from .line_setup import (
+    N_PARAMS,
+    PA,
+    PAOH,
+    PAOL,
+    PB,
+    PBOH,
+    PBOL,
+    PC,
+    PCDH,
+    PCDL,
+    PD,
+    PDX,
+    PDY,
+    PX0,
+    PY0,
+)
 
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 TX_BITS = 13  # tile_x+1 fits 13 bits (max 4096 tiles of width 16)
 
 
-def _find(i, a_over, b_over, cd_over, a, b, c, d):
-    """i-th element of the merged progressions (`rasterizer.rs:32-61`)."""
-    fi = i.astype(jnp.float32)
+def _find(fi, a_over, b_over, cd_over, a, b, c, d):
+    """i-th element of the merged progressions (`rasterizer.rs:32-61`).
+
+    All operands broadcast; fi is f32."""
     ja = jnp.where(
         jnp.isfinite(b),
         ff64.ceil(ff64.sub(ff64.mul(b_over, ff64.ff(fi)), cd_over)),
@@ -53,80 +78,74 @@ def _find(i, a_over, b_over, cd_over, a, b, c, d):
     return jnp.minimum(guess_a, guess_b)
 
 
-@partial(jax.jit, static_argnames=("seg_cap", "rows", "tiles_x", "slot_bits"))
+@partial(
+    jax.jit,
+    static_argnames=("v_cap", "k_seg", "rows", "tiles_x", "slot_bits"),
+)
 def rasterize_sort(
-    orders,
-    x0,
-    y0,
-    dx,
-    dy,
-    a,
-    b,
-    c,
-    d,
-    sum_lengths,  # u32 [L] inclusive prefix sum
-    total,  # u32 scalar, actual segment count (<= seg_cap)
-    seg_cap: int,
+    params,  # f32 [L, 14] per-line constants (line_setup layout)
+    slots,  # i32 [L] layer style slot
+    lengths,  # i32 [L] pixel-segment counts
+    vline_ends,  # u32 [L] inclusive cumsum of ceil(len / k_seg)
+    v_total,  # u32 scalar: actual virtual-line count (<= v_cap)
+    v_cap: int,
+    k_seg: int,
     rows: int,
     tiles_x: int,
     row_lo=0,  # traced: first tile row owned by this shard
-    st_orders=None,  # u32 [SL] sorted styled layer ids; enables slot keys
     slot_bits: int = 0,  # >0: single packed u32 sort key [row|tx|slot]
 ):
-    """Returns sorted (key_hi, key_lo, payload) u32 arrays of length seg_cap.
+    """Returns sorted (key_hi, key_lo, payload) u32 arrays of length
+    v_cap * k_seg.  Tile rows are shard-local (row - row_lo), which is what
+    lets `shard_map` split the framebuffer across chips."""
+    L = params.shape[0]
+    iota_v = jnp.arange(v_cap, dtype=jnp.uint32)
 
-    key_lo is the *style slot* (index into st_orders) when st_orders is
-    given, else the raw layer id; slot order equals layer order, so sorting
-    is unchanged.  With slot_bits > 0 the two keys pack into ONE u32
-    (minimal row/tx bits + slot_bits), halving the sort's key traffic —
-    the fast path whenever row_bits + tx_bits + slot_bits <= 32.
-
-    payload = local_x << 21 | local_y << 17 | (area + 1024) << 6 | (cover + 16).
-    Tile rows are shard-local: a segment in absolute row r gets key row
-    r - row_lo, and rows outside [row_lo, row_lo + rows) are dropped — this
-    is what lets `shard_map` split the framebuffer across chips.
-    """
-    i = jnp.arange(seg_cap, dtype=jnp.uint32)
-    # Owning line per output slot: instead of a binary search over the prefix
-    # sums (log2(L) gather rounds, slow on TPU), scatter each line's end
-    # position and take prefix sums -- line_id[i] = #{lines ending <= i},
-    # base[i] = largest line end <= i.
-    ends = jnp.minimum(sum_lengths, jnp.uint32(seg_cap)).astype(jnp.int32)
+    # Virtual line -> owning line: scatter each line's (inclusive) vline-end
+    # position, prefix ops recover per-vline line id and intra-line index.
+    ends = jnp.minimum(vline_ends, jnp.uint32(v_cap)).astype(jnp.int32)
     line_id = jnp.cumsum(
-        jnp.zeros(seg_cap + 1, jnp.int32).at[ends].add(1, mode="drop")[:-1]
+        jnp.zeros(v_cap + 1, jnp.int32).at[ends].add(1, mode="drop")[:-1]
     )
     base = jax.lax.cummax(
-        jnp.zeros(seg_cap + 1, jnp.uint32).at[ends].max(sum_lengths, mode="drop")[:-1]
+        jnp.zeros(v_cap + 1, jnp.uint32).at[ends].max(vline_ends, mode="drop")[:-1]
     )
-    li = jnp.minimum(line_id, sum_lengths.shape[0] - 1)
-    seg_i = (i - base).astype(jnp.int32)
-    in_range = i < total
+    li = jnp.minimum(line_id, L - 1)
+    j = (iota_v - base).astype(jnp.int32)  # vline index within its line
+    v_live = iota_v < v_total
 
-    av, bv, cv, dv = a[li], b[li], c[li], d[li]
+    # Two row-gathers for all per-line data.
+    P = params[li]  # [V, 14]
+    slot_v = slots[li]
+    len_v = lengths[li]
+
+    av = P[:, PA : PA + 1]
+    bv = P[:, PB : PB + 1]
+    cv = P[:, PC : PC + 1]
+    dv = P[:, PD : PD + 1]
+    a_over = ff64.FF(P[:, PAOH : PAOH + 1], P[:, PAOL : PAOL + 1])
+    b_over = ff64.FF(P[:, PBOH : PBOH + 1], P[:, PBOL : PBOL + 1])
+    cd_over = ff64.FF(P[:, PCDH : PCDH + 1], P[:, PCDL : PCDL + 1])
+
+    seg_lo = j * k_seg
+    i_rel = seg_lo[:, None] + jnp.arange(k_seg, dtype=jnp.int32)[None, :]
+    in_range = v_live[:, None] & (i_rel < len_v[:, None])
 
     # get_ith_pixel_segment_params (`rasterizer.rs:63-76`).
-    ii = seg_i - (cv != 0.0).astype(jnp.int32) - (dv != 0.0).astype(jnp.int32)
+    ii = i_rel - (cv != 0.0).astype(jnp.int32) - (dv != 0.0).astype(jnp.int32)
 
-    s = av + bv
-    degenerate = ~jnp.isfinite(s)
-    sum_ff = ff64.add(ff64.ff(av), ff64.ff(bv))
-    recip = ff64.div(ff64.ff(jnp.ones_like(av)), sum_ff)
-    zero_ff = ff64.ff(jnp.zeros_like(av))
+    t0 = jnp.maximum(
+        _find(ii.astype(jnp.float32), a_over, b_over, cd_over, av, bv, cv, dv), 0.0
+    )
+    t1 = jnp.minimum(
+        _find((ii + 1).astype(jnp.float32), a_over, b_over, cd_over, av, bv, cv, dv),
+        1.0,
+    )
 
-    def sel_ff(x):
-        return ff64.FF(
-            jnp.where(degenerate, 0.0, x.hi), jnp.where(degenerate, 0.0, x.lo)
-        )
-
-    a_over = sel_ff(ff64.mul(ff64.ff(av), recip))
-    b_over = sel_ff(ff64.mul(ff64.ff(bv), recip))
-    cd_over = sel_ff(ff64.mul(ff64.sub(ff64.ff(cv), ff64.ff(dv)), recip))
-    del zero_ff
-
-    t0 = jnp.maximum(_find(ii, a_over, b_over, cd_over, av, bv, cv, dv), 0.0)
-    t1 = jnp.minimum(_find(ii + 1, a_over, b_over, cd_over, av, bv, cv, dv), 1.0)
-
-    x0v, y0v, dxv, dyv = x0[li], y0[li], dx[li], dy[li]
+    x0v = P[:, PX0 : PX0 + 1]
+    y0v = P[:, PY0 : PY0 + 1]
+    dxv = P[:, PDX : PDX + 1]
+    dyv = P[:, PDY : PDY + 1]
     x0f = t0 * dxv + x0v
     y0f = t0 * dyv + y0v
     x1f = t1 * dxv + x0v
@@ -158,18 +177,10 @@ def rasterize_sort(
     tile_y = tile_y - jnp.int32(row_lo)
     valid = in_range & (tile_y >= 0) & (tile_y < rows) & (tile_x < tiles_x)
 
-    key_hi = ((tile_y + 1).astype(jnp.uint32) << TX_BITS) | (tile_x + 1).astype(
-        jnp.uint32
+    key_lo2 = jnp.broadcast_to(
+        slot_v[:, None].astype(jnp.uint32), (v_cap, k_seg)
     )
-    key_hi = jnp.where(valid, key_hi, SENTINEL)
-    layer = orders[li] & jnp.uint32(consts.LAYER_LIMIT)
-    if st_orders is not None:
-        key_lo = jnp.minimum(
-            jnp.searchsorted(st_orders, layer), st_orders.shape[0] - 1
-        ).astype(jnp.uint32)
-    else:
-        key_lo = layer
-    key_lo = jnp.where(valid, key_lo, 0)
+    key_lo = jnp.where(valid, key_lo2, 0).reshape(-1)
 
     payload = (
         (local_x << 21)
@@ -178,16 +189,19 @@ def rasterize_sort(
         | (cover + 16).astype(jnp.uint32)
     )
     zero_payload = (jnp.uint32(1024) << 6) | jnp.uint32(16)
-    payload = jnp.where(valid, payload, zero_payload)
+    payload = jnp.where(valid, payload, zero_payload).reshape(-1)
 
     if slot_bits > 0:
         # Packed single-key sort: [rowb | txb | slot] in minimal bits.
         tx_bits = max((tiles_x + 1).bit_length(), 1)
         packed = (
-            (((tile_y + 1).astype(jnp.uint32) << tx_bits)
-             | (tile_x + 1).astype(jnp.uint32)) << slot_bits
-        ) | key_lo
-        packed = jnp.where(valid, packed, SENTINEL)
+            (
+                ((tile_y + 1).astype(jnp.uint32) << tx_bits)
+                | (tile_x + 1).astype(jnp.uint32)
+            )
+            << slot_bits
+        ) | key_lo2
+        packed = jnp.where(valid, packed, SENTINEL).reshape(-1)
         packed, payload = jax.lax.sort((packed, payload), num_keys=1)
         invalid = packed == SENTINEL
         txb = (packed >> slot_bits) & jnp.uint32((1 << tx_bits) - 1)
@@ -195,6 +209,10 @@ def rasterize_sort(
         key_hi = jnp.where(invalid, SENTINEL, (rowb << TX_BITS) | txb)
         key_lo = jnp.where(invalid, 0, packed & jnp.uint32((1 << slot_bits) - 1))
     else:
+        key_hi = ((tile_y + 1).astype(jnp.uint32) << TX_BITS) | (
+            tile_x + 1
+        ).astype(jnp.uint32)
+        key_hi = jnp.where(valid, key_hi, SENTINEL).reshape(-1)
         key_hi, key_lo, payload = jax.lax.sort(
             (key_hi, key_lo, payload), num_keys=2
         )

@@ -4,8 +4,13 @@ The reference walks each tile row left-to-right, carrying per-layer
 accumulated covers between tiles (`painter/mod.rs:486-568`).  That sequential
 dependency re-casts into three data-parallel steps over the sorted segments:
 
-1. **Runs**: group sorted segments into (tile_y, tile_x, layer) runs and
-   scatter their covers/areas into dense per-run 16x16 grids.
+1. **Runs**: group sorted segments into (tile_y, tile_x, layer) runs.  Areas
+   and covers scatter-add into per-run 16x16 grids as ONE packed i32
+   (area in the high half, cover in the low half — both stay within i16,
+   the same bound the reference's i16/i8 tile accumulators rely on,
+   `painter/mod.rs:232-245`).  Run metadata (key, layer, first index) comes
+   from a stream-compaction sort of the run-boundary positions instead of
+   any per-run binary search (searchsorted is pathological on TPU).
 2. **Carry chains**: re-sort the runs by (row, layer, tile_x); a segmented
    prefix sum along each (row, layer) group yields every run's carry-in —
    the covers accumulated in all tiles to its left — in one scan.
@@ -14,8 +19,9 @@ dependency re-casts into three data-parallel steps over the sorted segments:
    `layer_workbench/mod.rs:196-234`); such gaps expand into "virtual" paint
    units with uniform coverage equal to the carry.
 
-Real and virtual units merge into a per-tile slot table that drives the dense
-K-slot paint fold.
+Real and virtual units merge into a per-tile slot table that drives the
+paint fold.  Every indexed access here is a row gather/scatter or a sort —
+the only per-element scatter is the unavoidable grid accumulation.
 """
 
 from __future__ import annotations
@@ -35,18 +41,27 @@ _LAYER_MASK = jnp.uint32(consts.LAYER_LIMIT)
 
 @jax.jit
 def extract_runs(key_hi, key_lo):
-    """Per-segment run ids over the sorted keys; returns (run_id, num_runs)."""
+    """Per-segment run ids over the sorted keys; returns
+    (run_id, num_runs_incl_sentinel, new_run)."""
     prev_hi = jnp.roll(key_hi, 1)
     prev_lo = jnp.roll(key_lo, 1)
     new_run = (key_hi != prev_hi) | (key_lo != prev_lo)
     new_run = new_run.at[0].set(True)
     run_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1
-    return run_id, run_id[-1] + 1
+    return run_id, run_id[-1] + 1, new_run
 
 
 def _first_of_group(new_group):
     iota = jnp.arange(new_group.shape[0], dtype=jnp.int32)
     return jax.lax.cummax(jnp.where(new_group, iota, 0))
+
+
+def unpack_grid(grid):
+    """packed i32 grid -> (area, cover) i32 (area = high 16, cover = low 16,
+    both sign-extended; exact because per-cell sums stay within i16)."""
+    cover = (grid << 16) >> 16
+    area = (grid - cover) >> 16
+    return area, cover
 
 
 @partial(jax.jit, static_argnames=("run_cap", "tiles_x"))
@@ -55,37 +70,50 @@ def run_data(
     key_lo,
     payload,
     run_id,
+    new_run,
     num_runs,
-    st_orders,  # u32 [SL] sorted layer ids with styles
-    st_fill_rule,  # i32 [SL]
+    st_pidx,  # i32 [SL] layer slot -> distinct-props row
+    st_fill_rule,  # i32 [P] per distinct props
+    st_opaque,  # bool [P] solid, alpha 1, Over, draw, not clipped
+    st_isclip,  # bool [P] func == Clip
     run_cap: int,
     tiles_x: int,
 ):
-    """Builds per-run grids and carry chains.
+    """Builds per-run packed grids and carry chains.
 
     Returns a dict of per-run arrays (original run order and the
     (row, layer, tile_x)-sorted order used for carries/virtual units).
     """
-    seg_cap = key_hi.shape[0]
+    seg_n = key_hi.shape[0]
 
-    first_idx = jnp.searchsorted(run_id, jnp.arange(run_cap, dtype=jnp.int32))
-    first_clamped = jnp.minimum(first_idx, seg_cap - 1)
-    run_hi = key_hi[first_clamped]
-    run_layer = key_lo[first_clamped]
-    r_valid = (jnp.arange(run_cap) < num_runs) & (run_hi != SENTINEL)
+    # Packed grid scatter: ONE per-element scatter for both accumulators.
+    lx, ly, area, cover = unpack_payload(payload)
+    val = area * 65536 + cover  # zero for padding segments
+    rid = jnp.minimum(run_id, run_cap - 1)
+    cell = ly * TW + lx
+    grid = (
+        jnp.zeros((run_cap, TH * TW), jnp.int32)
+        .at[rid, cell]
+        .add(val, mode="drop")
+    )
+
+    # Run metadata by stream compaction: sort boundary positions to the
+    # front, carrying the keys (replaces searchsorted of `PrefixScanIter`).
+    pos = jnp.where(
+        new_run, jnp.arange(seg_n, dtype=jnp.uint32), jnp.uint32(0xFFFFFFFF)
+    )
+    pos_s, rh_s, rl_s = jax.lax.sort((pos, key_hi, key_lo), num_keys=1)
+    run_hi = rh_s[:run_cap]
+    run_layer = rl_s[:run_cap]
+    r_valid = (
+        (pos_s[:run_cap] != jnp.uint32(0xFFFFFFFF))
+        & (run_hi != SENTINEL)
+        & (jnp.arange(run_cap) < num_runs)
+    )
     run_hi = jnp.where(r_valid, run_hi, SENTINEL)
 
-    # Scatter segment covers/areas into per-run 16x16 grids.  Padding
-    # segments carry zero area/cover, so scattering them is harmless.
-    lx, ly, area, cover = unpack_payload(payload)
-    rid = jnp.minimum(run_id, run_cap - 1)
-    area_grid = jnp.zeros((run_cap, TH, TW), jnp.int32).at[rid, ly, lx].add(
-        area, mode="drop"
-    )
-    cover_grid = jnp.zeros((run_cap, TH, TW), jnp.int32).at[rid, ly, lx].add(
-        cover, mode="drop"
-    )
-    rowcov = cover_grid.sum(axis=2)  # [R, 16] total cover per pixel row
+    _, cover_cells = unpack_grid(grid)
+    rowcov = cover_cells.reshape(run_cap, TH, TW).sum(axis=2)  # [R, 16]
 
     # Re-sort runs by (row, layer, tile_x) for the carry chains.
     rowb = run_hi >> TX_BITS  # biased row + 1
@@ -96,7 +124,7 @@ def run_data(
         (key2, txb_key, jnp.arange(run_cap, dtype=jnp.int32)), num_keys=2
     )
 
-    rowcov_s = rowcov[orig]
+    rowcov_s = rowcov[orig]  # row gather [R, 16]
     new_group = key2_s != jnp.roll(key2_s, 1)
     new_group = new_group.at[0].set(True)
     cum = jnp.cumsum(rowcov_s, axis=0)
@@ -116,9 +144,10 @@ def run_data(
     # A gap only paints if the carry is non-empty under the layer's fill rule
     # (`painter/mod.rs:187-198`).
     slot_s = jnp.minimum(
-        (key2_s & _LAYER_MASK).astype(jnp.int32), st_fill_rule.shape[0] - 1
+        (key2_s & _LAYER_MASK).astype(jnp.int32), st_pidx.shape[0] - 1
     )
-    fr_s = st_fill_rule[slot_s]
+    pidx_s = st_pidx[slot_s]
+    fr_s = st_fill_rule[pidx_s]
     empty_nz = jnp.all(carry_after_s == 0, axis=1)
     empty_eo = jnp.all((jnp.abs(carry_after_s) & 31) == 0, axis=1)
     empty = jnp.where(fr_s == 1, empty_eo, empty_nz)
@@ -127,17 +156,38 @@ def run_data(
 
     carry_in = jnp.zeros((run_cap, TH), jnp.int32).at[orig].set(carry_in_s)
 
+    # Unit flags for the occlusion-culling pass
+    # (`skip_fully_covered_layers.rs` + `Cover::is_full`,
+    # `painter/mod.rs:200-214`): a GAP unit is full-cover when every pixel
+    # row's carried cover is exactly +-16 (NonZero) or +-16 mod 32 (EvenOdd);
+    # with an opaque solid Over style it occludes everything beneath.
+    ac = jnp.abs(carry_after_s)
+    full_nz = jnp.all(ac == consts.PIXEL_WIDTH, axis=1)
+    full_eo = jnp.all((ac & 31) == consts.PIXEL_WIDTH, axis=1)
+    full_s = jnp.where(fr_s == 1, full_eo, full_nz)
+    isclip_s = st_isclip[pidx_s]
+    gap_flags_s = (
+        jnp.where(full_s & st_opaque[pidx_s], 2, 0)  # FLAG_FULL_OPAQUE
+        | jnp.where(isclip_s, 4, 0)  # FLAG_CLIP
+    ).astype(jnp.int32)
+    real_flags = (
+        jnp.zeros(run_cap, jnp.int32)
+        .at[orig]
+        .set(jnp.where(isclip_s, 4, 0).astype(jnp.int32))
+    )
+
     return dict(
         run_hi=run_hi,
         run_layer=run_layer,
         r_valid=r_valid,
-        area_grid=area_grid,
-        cover_grid=cover_grid,
+        real_flags=real_flags,
+        grid=grid,
         carry_in=carry_in,
         # sorted-by-(row, layer, tile_x) domain:
         key2_s=key2_s,
         tx_s=tx_s,
         carry_after_s=carry_after_s,
+        gap_flags_s=gap_flags_s,
         span=span,
         cumspan=cumspan,
         v_total=cumspan[-1],
@@ -149,8 +199,10 @@ def build_units(
     run_hi,
     run_layer,
     r_valid,
+    real_flags,  # i32 [R] FLAG_CLIP per real run (original order)
     key2_s,
     tx_s,
+    gap_flags_s,  # i32 [R] FLAG_FULL_OPAQUE/FLAG_CLIP per gap ((row,layer,tx) order)
     span,
     cumspan,
     v_total,
@@ -158,8 +210,10 @@ def build_units(
 ):
     """Merges real runs and virtual (gap) units into one per-tile-slot order.
 
-    Returns sorted unit arrays (key, layer, src index, is_virtual, slot k)
+    Returns sorted unit arrays (key, layer, src index, flags, slot k)
     plus the maximum slot count K (to be read back for the paint fold).
+    flags carry FLAG_VIRTUAL / FLAG_FULL_OPAQUE / FLAG_CLIP bits for the
+    culling pass.
     """
     run_cap = run_hi.shape[0]
 
@@ -169,16 +223,27 @@ def build_units(
     real_layer = run_layer
     real_src = jnp.arange(run_cap, dtype=jnp.int32)
 
-    # Virtual units from gap expansion.
+    # Virtual units from gap expansion: scatter each gap run's start into the
+    # gap index space, prefix-max recovers the owner (no binary search).
     vj = jnp.arange(v_cap, dtype=jnp.int32)
     v_valid = vj < v_total
-    owner = jnp.minimum(
-        jnp.searchsorted(cumspan, vj, side="right"), run_cap - 1
+    starts = cumspan - span  # exclusive
+    has = span > 0
+    sidx = jnp.arange(run_cap, dtype=jnp.int32)
+    start_pos = jnp.where(has, starts, v_cap)  # dropped when span == 0
+    owner = jax.lax.cummax(
+        jnp.zeros(v_cap, jnp.int32).at[start_pos].max(sidx, mode="drop")
     )
-    off = vj - (cumspan[owner] - span[owner])
-    v_tx = tx_s[owner] + 1 + off
-    v_rowb = key2_s[owner] >> 21
-    v_layer = (key2_s[owner] & _LAYER_MASK).astype(jnp.uint32)
+    base = jax.lax.cummax(
+        jnp.zeros(v_cap, jnp.int32).at[start_pos].max(starts, mode="drop")
+    )
+    off = vj - base
+    own2 = jnp.stack([tx_s, gap_flags_s], axis=1)[owner]  # one row gather
+    v_tx = own2[:, 0] + 1 + off
+    v_flags = own2[:, 1] | 1  # FLAG_VIRTUAL
+    v_key2 = key2_s[owner]
+    v_rowb = v_key2 >> 21
+    v_layer = (v_key2 & _LAYER_MASK).astype(jnp.uint32)
     v_key = jnp.where(
         v_valid, (v_rowb << TX_BITS) | (v_tx + 1).astype(jnp.uint32), SENTINEL
     )
@@ -186,9 +251,7 @@ def build_units(
     key_u = jnp.concatenate([real_key, v_key])
     layer_u = jnp.concatenate([real_layer, v_layer])
     src_u = jnp.concatenate([real_src, owner])
-    virt_u = jnp.concatenate(
-        [jnp.zeros(run_cap, jnp.int32), jnp.ones(v_cap, jnp.int32)]
-    )
+    virt_u = jnp.concatenate([real_flags, v_flags])
 
     key_u, layer_u, src_u, virt_u = jax.lax.sort(
         (key_u, layer_u, src_u, virt_u), num_keys=2

@@ -31,18 +31,52 @@ def _bucket(n: int, lo: int = 256) -> int:
     return c
 
 
+def _bucket_fine(n: int, lo: int = 256) -> int:
+    """Quarter-power-of-two buckets: the big capacity buckets (virtual lines,
+    runs) drive sort and scatter sizes, so 2x growth steps waste real frame
+    time; {1, 1.25, 1.5, 1.75} x 2^k keeps padding under 25%."""
+    if n <= lo:
+        return lo
+    p = 1 << (int(n - 1).bit_length() - 1)  # largest pow2 < n... <= n-1
+    for m in (4, 5, 6, 7, 8):
+        c = p * m // 4
+        if c >= n:
+            return c
+    return p * 2
+
+
 class Renderer:
     """Renders compositions on the default JAX device (TPU when available)."""
 
     def __init__(self):
         self._geom_cache_key = None
         self._geom_cache = None
+        self._slots_cache_key = None
+        self._slots_cache = None
         self._tables_cache_key = None
         self._tables_cache = None
         self._styles_cache_key = None
         self._styles_cache = None
+        self._style_map = _styles.StyleMap()
         self._caps = _pipe.Caps()
+        self._cache_slots = 0  # 32-bit set (`SmallBitSet`, renderer.rs:67-73)
         self.last_diag: Optional[np.ndarray] = None
+
+    # -- layer caches ---------------------------------------------------------
+
+    def create_buffer_layer_cache(self):
+        """Hands out one of <= 32 damage-cache slots
+        (`cpu/renderer.rs:67-73`); returns None when exhausted."""
+        from .buffer import BufferLayerCache
+
+        for i in range(32):
+            if not self._cache_slots & (1 << i):
+                self._cache_slots |= 1 << i
+                return BufferLayerCache(i, self)
+        return None
+
+    def _release_cache_slot(self, cache_id: int):
+        self._cache_slots &= ~(1 << cache_id)
 
     # -- geometry upload ----------------------------------------------------
 
@@ -81,39 +115,67 @@ class Renderer:
             )
         return self._geom_cache
 
-    def _geom_tables(self, composition: Composition, uniq: np.ndarray):
+    def _geom_slots(self, composition: Composition, uniq: np.ndarray):
+        """uniq geom id -> layer registry slot (-1 if unregistered); cached on
+        membership (scene) changes, not on per-frame transform changes."""
+        shared = composition._shared
         key = (
-            composition.shared_segment_buffer().serial,
-            composition.shared_segment_buffer().version,
-            composition._shared.state_version,
+            shared.segment_buffer.serial,
+            shared.segment_buffer.version,
+            shared.scene_version,
+        )
+        if self._slots_cache_key != key:
+            g2s = shared.geom_id_to_slot
+            self._slots_cache = np.fromiter(
+                (g2s.get(int(gid), -1) for gid in uniq),
+                np.int32,
+                count=len(uniq),
+            )
+            self._slots_cache_key = key
+        return self._slots_cache
+
+    def _geom_tables(self, composition: Composition, uniq: np.ndarray, st_orders):
+        """Per-geometry style-slot/validity/transform tables as registry
+        gathers — O(#geoms) numpy per transform change, no Python loop.
+
+        `st_orders` is the style tables' sorted per-layer order array; the
+        geometry's layer resolves to its style slot HERE, on the host, so the
+        device never runs a searchsorted over pixel segments."""
+        shared = composition._shared
+        key = (
+            shared.segment_buffer.serial,
+            shared.segment_buffer.version,
+            shared.scene_version,
+            shared.style_version,
+            shared.tform_version,
         )
         if self._tables_cache_key == key:
             return self._tables_cache
+        slots = self._geom_slots(composition, uniq)
+        reg = shared.registry
         g = max(len(uniq), 1)
-        g_order = np.zeros(g, np.uint32)
-        g_valid = np.zeros(g, bool)
-        g_t = np.tile(np.asarray([1, 0, 0, 1, 0, 0], np.float32), (g, 1))
-        g_has_t = np.zeros(g, bool)
-        g2o = composition.geom_id_to_order()
-        layers = composition.layers
-        for k, gid in enumerate(uniq):
-            order = g2o.get(int(gid))
-            if order is None:
-                continue
-            layer = layers.get(order)
-            if layer is None or not layer.is_enabled_value or layer.order is None:
-                continue
-            g_order[k] = layer.order.as_u32()
-            g_valid[k] = True
-            t = layer.affine_transform_value
-            if t is not None:
-                g_t[k] = np.asarray(t.as_slice(), np.float32)
-                g_has_t[k] = True
+        if len(uniq):
+            sl = np.maximum(slots, 0)
+            ok = slots >= 0
+            g_order = np.where(ok, reg.order[sl], 0).astype(np.uint32)
+            g_valid = ok & reg.valid[sl]
+            g_t = reg.tform[sl].astype(np.float32)
+            g_has_t = ok & reg.has_t[sl]
+            pos = np.searchsorted(st_orders, g_order)
+            pos = np.minimum(pos, max(len(st_orders) - 1, 0))
+            found = g_valid & (st_orders[pos] == g_order)
+            g_slot = np.where(found, pos, -1).astype(np.int32)
+            g_valid = found
+        else:
+            g_slot = np.full(g, -1, np.int32)
+            g_valid = np.zeros(g, bool)
+            g_t = np.tile(np.asarray([1, 0, 0, 1, 0, 0], np.float32), (g, 1))
+            g_has_t = np.zeros(g, bool)
         import jax.numpy as jnp
 
         self._tables_cache_key = key
         self._tables_cache = (
-            jnp.asarray(g_order),
+            jnp.asarray(g_slot),
             jnp.asarray(g_valid),
             jnp.asarray(g_t),
             jnp.asarray(g_has_t),
@@ -131,7 +193,18 @@ class Renderer:
         channels=RGBA,
         crop=None,
     ) -> np.ndarray:
-        """Renders and returns u8 [height, width, 4] in channel order."""
+        """Renders and returns u8 [height, width, 4] in channel order.
+        With `crop`, pixels outside the (tile-aligned) rect stay zero."""
+        if crop is not None:
+            from .buffer import Buffer, LinearLayout
+
+            out = np.zeros((height, width * 4), np.uint8)
+            self.render_into(
+                composition,
+                Buffer(buffer=out, layout=LinearLayout(width, width * 4, height)),
+                clear_color, channels, crop,
+            )
+            return out.reshape(height, width, 4)
         frame, _ = self.render_device(composition, width, height, clear_color, channels)
         return np.asarray(frame)[:height, :width]
 
@@ -145,28 +218,147 @@ class Renderer:
     ):
         """Renders into a `Buffer` (numpy u8 [H, width_stride]); pixels
         outside `crop` (a tile-aligned `Rect`) are left untouched, matching
-        `cpu::Renderer::render` (`forma/src/cpu/renderer.rs:75`)."""
+        `cpu::Renderer::render` (`forma/src/cpu/renderer.rs:75`).
+
+        With `buffer.layer_cache` set, unchanged tiles (same layer set, all
+        layers' is_unchanged bits, same clear color) re-emit the previous
+        frame's pixels and skip painting entirely — the reference's
+        damage-cache fast path (`tile_unchanged.rs` + `CachedTile`)."""
         from . import consts as _c
 
         layout = buffer.layout
         w, h = layout.width(), layout.height()
-        frame, _ = self.render_device(composition, w, h, clear_color, channels)
-        img = np.asarray(frame)[:h, :w]
+        cache = buffer.layer_cache
         target = buffer.buffer.reshape(h, -1)[:, : w * 4].reshape(h, w, 4)
-        if crop is None:
-            target[:] = img
-        else:
-            x0 = crop.hor.start * _c.TILE_WIDTH
+        if crop is not None:
+            # Work-culling crop: only tile rows inside the crop rasterize
+            # into runs, and only tiles inside the x-range paint
+            # (`cpu/renderer.rs:38-53`).  Crop bypasses the damage cache
+            # (partial paints must not be recorded as full frames).
+            if cache is not None:
+                cache.clear()
+            rows_total = -(-h // _c.TILE_HEIGHT)
+            y0t = max(crop.vert.start, 0)
+            y1t = min(crop.vert.stop, rows_total)
+            if y0t >= y1t:
+                return
+            frame, _ = self.render_device(
+                composition, w, h, clear_color, channels,
+                row_span=(y0t, y1t), crop_x=(crop.hor.start, crop.hor.stop),
+            )
+            img = np.asarray(frame)
+            x0 = max(crop.hor.start, 0) * _c.TILE_WIDTH
             x1 = min(crop.hor.stop * _c.TILE_WIDTH, w)
-            y0 = crop.vert.start * _c.TILE_HEIGHT
-            y1 = min(crop.vert.stop * _c.TILE_HEIGHT, h)
-            target[y0:y1, x0:x1] = img[y0:y1, x0:x1]
-        if buffer.layer_cache is not None:
-            cache = buffer.layer_cache
-            cache.clear_color = clear_color
-            cache.width, cache.height = w, h
-            for layer in composition.layers.values():
-                layer.set_is_unchanged(cache.id, layer.is_enabled_value)
+            y0 = y0t * _c.TILE_HEIGHT
+            y1 = min(y1t * _c.TILE_HEIGHT, h)
+            target[y0:y1, x0:x1] = img[: y1 - y0, x0:x1]
+            return
+        if cache is None:
+            frame, _ = self.render_device(composition, w, h, clear_color, channels)
+        else:
+            frame, _ = self._render_device_cached(
+                composition, cache, w, h, clear_color, channels
+            )
+        img = np.asarray(frame)[:h, :w]
+        target[:] = img
+
+    def _render_device_cached(
+        self, composition, cache, width, height, clear_color, channels
+    ):
+        """Damage-aware render; updates `cache` device state and the layers'
+        is_unchanged bits (`cpu/renderer.rs:217-223`)."""
+        import jax.numpy as jnp
+
+        composition.compact_geom()
+        composition._shared.props_interner.compact()
+
+        rows = -(-height // consts.TILE_HEIGHT)
+        tiles_x = -(-width // consts.TILE_WIDTH)
+        n_tiles = rows * tiles_x
+        chans = tuple(ch.value for ch in channels)
+
+        px, py, line_slot, uniq = self._prepare_geometry(composition)
+        skey = (
+            composition.shared_segment_buffer().serial,
+            composition._shared.scene_version,
+            composition._shared.style_version,
+        )
+        if self._styles_cache_key == skey:
+            st_host, st = self._styles_cache
+        else:
+            st_host = self._style_map.build(composition.layers)
+            st = _pipe.style_tables_device(st_host)
+            self._styles_cache_key = skey
+            self._styles_cache = (st_host, st)
+        g_slot, g_valid, g_t, g_has_t = self._geom_tables(
+            composition, uniq, st_host.orders
+        )
+        clear = jnp.asarray(clear_color.to_array(), jnp.float32)
+
+        reg = composition._shared.registry
+        bit = np.uint32(1 << cache.id)
+        has_layers = len(composition.layers) > 0
+        if has_layers:
+            st_unchanged = (reg.unchanged[st_host.lslot] & bit) != 0
+        else:
+            st_unchanged = np.zeros(st_host.lslot.shape[0], bool)
+
+        cache_ok = (
+            cache.prev_frame is not None
+            and cache.width == width
+            and cache.height == height
+            and cache.channels == chans
+            and cache.clear_color == clear_color
+        )
+        if cache_ok:
+            prev_frame, prev_counts = cache.prev_frame, cache.prev_counts
+        else:
+            prev_frame = jnp.zeros(
+                (rows * consts.TILE_HEIGHT, tiles_x * consts.TILE_WIDTH, len(chans)),
+                jnp.uint8,
+            )
+            prev_counts = jnp.full((n_tiles,), -1, jnp.int32)
+
+        for _ in range(8):
+            frame, diag, counts = _pipe.render_frame_cached(
+                px, py, line_slot, g_slot, g_valid, g_t, g_has_t, st, clear,
+                prev_frame, prev_counts, jnp.asarray(st_unchanged),
+                jnp.asarray(cache_ok),
+                width, height, rows, tiles_x,
+                self._caps, st_host.features, chans,
+            )
+            d = np.asarray(diag)
+            caps = self._caps
+            if (
+                d[_pipe.DIAG_VLINES] <= caps.vline
+                and d[_pipe.DIAG_RUNS] <= caps.run
+                and d[_pipe.DIAG_VIRT] <= caps.virt
+                and d[_pipe.DIAG_K] <= caps.k
+            ):
+                break
+            self._caps = _pipe.Caps(
+                vline=max(caps.vline, _bucket_fine(int(d[_pipe.DIAG_VLINES]) + 1)),
+                run=max(caps.run, _bucket_fine(int(d[_pipe.DIAG_RUNS]))),
+                virt=max(caps.virt, _bucket_fine(int(d[_pipe.DIAG_VIRT]) + 1)),
+                k=max(caps.k, _bucket(max(int(d[_pipe.DIAG_K]), 1), lo=4)),
+            )
+        else:
+            raise RuntimeError(f"capacity growth did not converge: {d}")
+
+        self.last_diag = d
+        cache.prev_frame = frame
+        cache.prev_counts = counts
+        cache.width, cache.height = width, height
+        cache.channels = chans
+        cache.clear_color = clear_color
+        # Mark every enabled rendered layer unchanged for this cache slot.
+        if has_layers:
+            reg.unchanged[st_host.lslot] = np.where(
+                reg.valid[st_host.lslot],
+                reg.unchanged[st_host.lslot] | bit,
+                reg.unchanged[st_host.lslot] & ~bit,
+            )
+        return frame, d
 
     def render_device(
         self,
@@ -175,45 +367,69 @@ class Renderer:
         height: int,
         clear_color: Color = Color(0.0, 0.0, 0.0, 1.0),
         channels=RGBA,
+        check_caps: bool = True,
+        row_span=None,  # (tile_row_lo, tile_row_hi): render only these rows
+        crop_x=None,  # (tile_x_lo, tile_x_hi): paint only these tile columns
     ):
         """Renders; returns (device u8 frame [rows*16, tiles_x*16, 4], diag).
 
-        The frame stays on device; only the diagnostics vector syncs.
+        With `check_caps` (default) the diagnostics vector syncs to the host
+        and capacity buckets grow + re-render on overflow.  With
+        `check_caps=False` nothing syncs — frames pipeline back-to-back with
+        no host round-trip (a ~28 ms fence on this stack); the caller is
+        responsible for validating the returned device diag afterwards.
         """
         import jax.numpy as jnp
 
         composition.compact_geom()
+        composition._shared.props_interner.compact()
 
         rows = -(-height // consts.TILE_HEIGHT)
         tiles_x = -(-width // consts.TILE_WIDTH)
+        row_lo = None
+        if row_span is not None:
+            row_lo = jnp.int32(row_span[0])
+            rows = row_span[1] - row_span[0]
+        crop_x_t = None
+        if crop_x is not None:
+            crop_x_t = (jnp.int32(crop_x[0]), jnp.int32(crop_x[1]))
 
         px, py, line_slot, uniq = self._prepare_geometry(composition)
-        g_order, g_valid, g_t, g_has_t = self._geom_tables(composition, uniq)
 
+        # Style tables depend on membership + props, NOT transforms: per-frame
+        # animation re-uploads only the small transform tables below.
         skey = (
             composition.shared_segment_buffer().serial,
-            composition._shared.state_version,
+            composition._shared.scene_version,
+            composition._shared.style_version,
         )
         if self._styles_cache_key == skey:
             st_host, st = self._styles_cache
         else:
-            st_host = _styles.build_style_tables(composition.layers)
+            st_host = self._style_map.build(composition.layers)
             st = _pipe.style_tables_device(st_host)
             self._styles_cache_key = skey
             self._styles_cache = (st_host, st)
+
+        g_slot, g_valid, g_t, g_has_t = self._geom_tables(
+            composition, uniq, st_host.orders
+        )
         clear = jnp.asarray(clear_color.to_array(), jnp.float32)
         chans = tuple(ch.value for ch in channels)
 
         for _ in range(8):  # bounded growth retries
             frame, diag = _pipe.render_frame(
-                px, py, line_slot, g_order, g_valid, g_t, g_has_t, st, clear,
+                px, py, line_slot, g_slot, g_valid, g_t, g_has_t, st, clear,
                 width, height, rows, tiles_x,
                 self._caps, st_host.features, chans,
+                row_lo=row_lo, crop_x=crop_x_t,
             )
+            if not check_caps:
+                return frame, diag
             d = np.asarray(diag)
             caps = self._caps
             if (
-                d[_pipe.DIAG_TOTAL] <= caps.seg
+                d[_pipe.DIAG_VLINES] <= caps.vline
                 and d[_pipe.DIAG_RUNS] <= caps.run
                 and d[_pipe.DIAG_VIRT] <= caps.virt
                 and d[_pipe.DIAG_K] <= caps.k
@@ -221,9 +437,9 @@ class Renderer:
                 self.last_diag = d
                 return frame, d
             self._caps = _pipe.Caps(
-                seg=max(caps.seg, _bucket(int(d[_pipe.DIAG_TOTAL]) + 1)),
-                run=max(caps.run, _bucket(int(d[_pipe.DIAG_RUNS]))),
-                virt=max(caps.virt, _bucket(int(d[_pipe.DIAG_VIRT]) + 1)),
+                vline=max(caps.vline, _bucket_fine(int(d[_pipe.DIAG_VLINES]) + 1)),
+                run=max(caps.run, _bucket_fine(int(d[_pipe.DIAG_RUNS]))),
+                virt=max(caps.virt, _bucket_fine(int(d[_pipe.DIAG_VIRT]) + 1)),
                 k=max(caps.k, _bucket(max(int(d[_pipe.DIAG_K]), 1), lo=4)),
             )
         raise RuntimeError(f"capacity growth did not converge: {d}")

@@ -19,3 +19,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persist compiled executables across test processes: the fused pipeline
+# takes minutes to compile on CPU and is identical between runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/forma_tpu_jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Writes the golden-comparison HTML report (the analog of the reference's
+    self-updating report.html, `e2e-tests/tests/test_env.rs:315-421`)."""
+    try:
+        from report import GLOBAL_REPORT
+
+        if GLOBAL_REPORT.entries:
+            path = GLOBAL_REPORT.write()
+            print(f"\ngolden report: {path} ({len(GLOBAL_REPORT.entries)} entries)")
+    except Exception as e:  # never fail the run over reporting
+        print(f"\ngolden report failed: {e}")

@@ -25,6 +25,8 @@ def renderer():
 def test_golden_device(name, scene, renderer):
     from PIL import Image as PILImage
 
+    from report import GLOBAL_REPORT
+
     path = os.path.join(GOLDENS, f"{name}.png")
     if not os.path.exists(path):
         pytest.skip(f"golden {path} not available")
@@ -33,6 +35,5 @@ def test_golden_device(name, scene, renderer):
     composition = Composition()
     scene(composition)
     actual = renderer.render(composition, 64, 64, clear_color=CLEAR)
-    diff = np.abs(actual.astype(int) - expected.astype(int))
-    bad = int((diff.max(axis=-1) > 8).sum())
-    assert bad == 0, f"{name}: {bad} pixels exceed tolerance (max diff {diff.max()})"
+    passed, bad = GLOBAL_REPORT.record(name + "__device", actual, expected)
+    assert passed, f"{name}: {bad} pixels exceed tolerance"

@@ -37,16 +37,16 @@ def _segments(p0, p1, backend="oracle"):
 
     x, y, ids = buf.flat()
     line_slot = np.where(ids[:-1] != 0, 0, -1).astype(np.int32)
-    out = line_setup(
+    params, slots, lengths, vline_ends = line_setup(
         jnp.asarray(x), jnp.asarray(y), jnp.asarray(line_slot),
-        jnp.zeros(1, jnp.uint32), jnp.ones(1, bool),
+        jnp.zeros(1, jnp.int32), jnp.ones(1, bool),
         jnp.asarray([[1, 0, 0, 1, 0, 0]], jnp.float32), jnp.zeros(1, bool),
-        BIG, BIG,
+        BIG, BIG, k_seg=8,
     )
-    sl = out[9]
-    total = int(sl[-1])
+    v_total = int(vline_ends[-1])
     kh, kl, payload = rasterize_sort(
-        *out[:9], sl, jnp.uint32(total), max(total, 1), 1 << 11, 1 << 12,
+        params, slots, lengths, vline_ends, jnp.uint32(v_total),
+        max(v_total, 1), 8, 1 << 11, 1 << 12,
     )
     kh, kl = np.asarray(kh), np.asarray(kl)
     lx, ly, area, cover = map(np.asarray, unpack_payload(payload))
