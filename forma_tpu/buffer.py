@@ -63,15 +63,46 @@ class Rect:
         )
 
 
-class LinearLayout:
+class Flusher:
+    """Post-write hook (`forma/src/cpu/buffer/layout/mod.rs:31-34`): called
+    with the written byte region after every render (e.g. cache flush on
+    memory-mapped framebuffers)."""
+
+    def flush(self, data: np.ndarray) -> None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class Layout:
+    """Buffer layout interface (`forma/src/cpu/buffer/layout/mod.rs:51-163`):
+    maps the rendered tile grid onto a user byte buffer and exposes an
+    optional `Flusher`.  The TPU backend renders whole frames on device, so
+    the per-tile-slice machinery of the reference collapses to `write`."""
+
+    def width(self) -> int:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def height(self) -> int:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def flusher(self) -> Optional[Flusher]:
+        return None
+
+    def write(self, buffer: np.ndarray, img: np.ndarray, rect=None) -> None:
+        """Writes u8 [h, w, 4] pixels into `buffer`, full frame or a
+        tile-aligned sub-rect (`TileFill::{Full,...}` write paths)."""
+        raise NotImplementedError
+
+
+class LinearLayout(Layout):
     """Linear RGBA-strided buffer layout
     (`forma/src/cpu/buffer/layout/mod.rs:167-296`)."""
 
-    def __init__(self, width: int, width_stride: int, height: int):
+    def __init__(self, width: int, width_stride: int, height: int, flusher=None):
         assert width * 4 <= width_stride
         self._width = width
         self._width_stride = width_stride
         self._height = height
+        self._flusher = flusher
 
     def width(self) -> int:
         return self._width
@@ -81,6 +112,22 @@ class LinearLayout:
 
     def width_stride(self) -> int:
         return self._width_stride
+
+    def flusher(self) -> Optional[Flusher]:
+        return self._flusher
+
+    def write(self, buffer: np.ndarray, img: np.ndarray, rect=None) -> None:
+        h, w = self._height, self._width
+        target = buffer.reshape(h, -1)[:, : w * 4].reshape(h, w, 4)
+        if rect is None:
+            target[:] = img
+            region = buffer
+        else:
+            y0, y1, x0, x1 = rect
+            target[y0:y1, x0:x1] = img
+            region = buffer.reshape(h, -1)[y0:y1]
+        if self._flusher is not None:
+            self._flusher.flush(region)
 
 
 class BufferLayerCache:

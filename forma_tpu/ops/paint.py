@@ -248,6 +248,74 @@ def _blend(blend_code, modes, dr, dg, db, sr, sg, sb):
 # -- occlusion culling --------------------------------------------------------
 
 
+def _seg_ffill(gid, values, valid):
+    """Segmented forward-fill: for each position, the most recent `values`
+    entry with `valid` set within its gid group (-1 when none)."""
+
+    def op(a, b):
+        ag, av, af = a
+        bg, bv, bf = b
+        same = bg == ag
+        take_b = bf | ~same
+        return bg, jnp.where(take_b, bv, av), bf | (same & af)
+
+    init = jnp.where(valid, values, -1)
+    _, out, got = jax.lax.associative_scan(op, (gid, init, valid))
+    return jnp.where(got, out, -1)
+
+
+def _renumber_units(key_u, layer_u, src_u, virt_u, keep):
+    """Drops units where ~keep, re-sorts, recomputes per-tile slot indices."""
+    n = key_u.shape[0]
+    key2 = jnp.where(keep, key_u, SENTINEL)
+    key2, layer_u, src_u, virt_u = jax.lax.sort(
+        (key2, layer_u, src_u, virt_u), num_keys=2
+    )
+    new_tile = key2 != jnp.roll(key2, 1)
+    new_tile = new_tile.at[0].set(True)
+    first = _first_of_group(new_tile)
+    k2 = jnp.arange(n, dtype=jnp.int32) - first
+    u_valid = key2 != SENTINEL
+    k_needed = jnp.max(jnp.where(u_valid, k2, -1)) + 1
+    return key2, layer_u, src_u, virt_u, k2, u_valid, k_needed
+
+
+@jax.jit
+def skip_trivial_clips(key_u, layer_u, src_u, virt_u, k_u, u_valid, id_u, cend_u, clipped_u):
+    """The droppable subset of `skip_trivial_clips_pass`
+    (`passes/skip_trivial_clips.rs:27-112`): clipped draw layers outside any
+    active clip range are invisible and drop; clip units no clipped layer
+    references drop.  (Full-cover clips stay — the fold's coverage-1 clip
+    mask is numerically identical to unclipped drawing.)
+
+    id_u/cend_u: layer id and clip range end per unit; clipped_u: the unit is
+    a clipped Draw.
+    """
+    n = key_u.shape[0]
+    is_clip = ((virt_u & FLAG_CLIP) != 0) & u_valid
+
+    new_tile = key_u != jnp.roll(key_u, 1)
+    new_tile = new_tile.at[0].set(True)
+    gid = jnp.cumsum(new_tile.astype(jnp.int32))
+
+    iota = jnp.arange(n, dtype=jnp.int32)
+    last_clip_end = _seg_ffill(gid, cend_u, is_clip)
+    last_clip_pos = _seg_ffill(gid, iota, is_clip)
+
+    orphan = clipped_u & u_valid & ((last_clip_pos < 0) | (id_u > last_clip_end))
+    governed = clipped_u & u_valid & ~orphan
+
+    used = (
+        jnp.zeros((n,), jnp.int32)
+        .at[jnp.where(governed, last_clip_pos, n)]
+        .max(1, mode="drop")
+    )
+    unused_clip = is_clip & (used == 0)
+
+    keep = u_valid & ~(orphan | unused_clip)
+    return _renumber_units(key_u, layer_u, src_u, virt_u, keep)
+
+
 def _seg_cummax(gid, values):
     """Segmented prefix max over `values` within equal-gid groups (gid
     nondecreasing).  associative_scan with the classic segmented-max
@@ -296,18 +364,7 @@ def cull_units(key_u, layer_u, src_u, virt_u, k_u, u_valid):
     tile_has_clip = (clip_fwd | clip_rev) > 0
 
     keep = u_valid & ((k_u + 1 >= k_top1) | tile_has_clip)
-
-    key2 = jnp.where(keep, key_u, SENTINEL)
-    key2, layer_u, src_u, virt_u = jax.lax.sort(
-        (key2, layer_u, src_u, virt_u), num_keys=2
-    )
-    new_tile2 = key2 != jnp.roll(key2, 1)
-    new_tile2 = new_tile2.at[0].set(True)
-    first2 = _first_of_group(new_tile2)
-    k2 = jnp.arange(n, dtype=jnp.int32) - first2
-    u_valid2 = key2 != SENTINEL
-    k_needed = jnp.max(jnp.where(u_valid2, k2, -1)) + 1
-    return key2, layer_u, src_u, virt_u, k2, u_valid2, k_needed
+    return _renumber_units(key_u, layer_u, src_u, virt_u, keep)
 
 
 # -- the fold -----------------------------------------------------------------

@@ -136,6 +136,23 @@ def _core(
         )
         tile_unch = cache_ok & (counts == prev_counts) & (all_unch == 1)
 
+    if cull and features.has_clip:
+        # Trivial-clip elimination (`passes/skip_trivial_clips.rs`): compile
+        # away entirely for clip-free frames via the static feature flag.
+        slot_u = jnp.minimum(layer_u.astype(jnp.int32), st["orders"].shape[0] - 1)
+        pi_u = st["pidx"][slot_u]
+        id_u = (st["orders"][slot_u] & jnp.uint32(consts.LAYER_LIMIT)).astype(
+            jnp.int32
+        )
+        cend_u = id_u + st["clip_n"][pi_u]
+        clipped_u = st["is_clipped"][pi_u] & (st["func"][pi_u] == 0)
+        key_u, layer_u, src_u, virt_u, k_u, u_valid, _ = (
+            _paint.skip_trivial_clips(
+                key_u, layer_u, src_u, virt_u, k_u, u_valid,
+                id_u, cend_u, clipped_u,
+            )
+        )
+
     if cull:
         key_u, layer_u, src_u, virt_u, k_u, u_valid, k_needed = (
             _paint.cull_units(key_u, layer_u, src_u, virt_u, k_u, u_valid)

@@ -229,7 +229,6 @@ class Renderer:
         layout = buffer.layout
         w, h = layout.width(), layout.height()
         cache = buffer.layer_cache
-        target = buffer.buffer.reshape(h, -1)[:, : w * 4].reshape(h, w, 4)
         if crop is not None:
             # Work-culling crop: only tile rows inside the crop rasterize
             # into runs, and only tiles inside the x-range paint
@@ -251,7 +250,7 @@ class Renderer:
             x1 = min(crop.hor.stop * _c.TILE_WIDTH, w)
             y0 = y0t * _c.TILE_HEIGHT
             y1 = min(y1t * _c.TILE_HEIGHT, h)
-            target[y0:y1, x0:x1] = img[: y1 - y0, x0:x1]
+            layout.write(buffer.buffer, img[: y1 - y0, x0:x1], rect=(y0, y1, x0, x1))
             return
         if cache is None:
             frame, _ = self.render_device(composition, w, h, clear_color, channels)
@@ -259,8 +258,7 @@ class Renderer:
             frame, _ = self._render_device_cached(
                 composition, cache, w, h, clear_color, channels
             )
-        img = np.asarray(frame)[:h, :w]
-        target[:] = img
+        layout.write(buffer.buffer, np.asarray(frame)[:h, :w])
 
     def _render_device_cached(
         self, composition, cache, width, height, clear_color, channels

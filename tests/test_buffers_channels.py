@@ -1,0 +1,120 @@
+"""Buffer/channel coverage the round-1 verdict flagged missing: BGR*/RGB*
+channel orders, strided render_into, and the two-key sort fallback path."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from forma_tpu import (
+    BGR1,
+    BGRA,
+    RGB0,
+    RGBA,
+    Buffer,
+    Color,
+    Composition,
+    Fill,
+    Func,
+    LinearLayout,
+    Order,
+    Point,
+    Props,
+    Style,
+)
+from forma_tpu.path import PathBuilder
+from forma_tpu.renderer import Renderer
+
+CLEAR = Color(0.25, 0.5, 0.75, 1.0)
+
+
+def _scene():
+    comp = Composition()
+    p = (
+        PathBuilder()
+        .move_to(Point(8, 8))
+        .line_to(Point(8, 40))
+        .line_to(Point(40, 40))
+        .line_to(Point(40, 8))
+        .build()
+    )
+    comp.get_mut_or_insert_default(Order(0)).insert(p).set_props(
+        Props(func=Func.Draw(Style(fill=Fill.Solid(Color(0.9, 0.1, 0.2, 0.8)))))
+    )
+    return comp
+
+
+def test_channel_orders():
+    comp = _scene()
+    r = Renderer()
+    rgba = r.render(comp, 64, 64, CLEAR, channels=RGBA)
+    bgra = r.render(comp, 64, 64, CLEAR, channels=BGRA)
+    bgr1 = r.render(comp, 64, 64, CLEAR, channels=BGR1)
+    rgb0 = r.render(comp, 64, 64, CLEAR, channels=RGB0)
+    np.testing.assert_array_equal(bgra[..., 0], rgba[..., 2])
+    np.testing.assert_array_equal(bgra[..., 2], rgba[..., 0])
+    np.testing.assert_array_equal(bgra[..., 3], rgba[..., 3])
+    np.testing.assert_array_equal(bgr1[..., 3], np.full((64, 64), 255))
+    np.testing.assert_array_equal(rgb0[..., 3], np.zeros((64, 64)))
+    np.testing.assert_array_equal(rgb0[..., :3], rgba[..., :3])
+
+
+def test_render_into_strided_buffer():
+    comp = _scene()
+    r = Renderer()
+    w, h, stride = 48, 48, 64 * 4  # wider stride than row
+    buf = np.full((h, stride), 9, np.uint8)
+    r.render_into(
+        comp, Buffer(buffer=buf, layout=LinearLayout(w, stride, h)), CLEAR
+    )
+    direct = r.render(comp, w, h, CLEAR)
+    np.testing.assert_array_equal(buf[:, : w * 4].reshape(h, w, 4), direct)
+    assert (buf[:, w * 4 :] == 9).all()  # stride padding untouched
+
+
+def test_two_key_sort_fallback_matches_packed():
+    """slot_bits == 0 (two-key sort) must order segments identically to the
+    packed single-key fast path (Weak #10 in the round-1 verdict)."""
+    from forma_tpu.ops.line_setup import line_setup
+    from forma_tpu.ops.rasterize import rasterize_sort
+
+    rng = np.random.default_rng(0)
+    n = 64
+    pts_x = rng.uniform(-10, 120, n * 2).astype(np.float32)
+    pts_y = rng.uniform(-10, 120, n * 2).astype(np.float32)
+    line_slot = np.where(np.arange(n * 2 - 1) % 2 == 0, np.arange(n * 2 - 1) // 2 % 4, -1)
+
+    params, slots, lengths, vline_ends = line_setup(
+        jnp.asarray(pts_x), jnp.asarray(pts_y),
+        jnp.asarray(line_slot, jnp.int32),
+        jnp.arange(4, dtype=jnp.int32), jnp.ones(4, bool),
+        jnp.tile(jnp.asarray([[1, 0, 0, 1, 0, 0]], jnp.float32), (4, 1)),
+        jnp.zeros(4, bool),
+        128, 128, k_seg=8,
+    )
+    v_total = int(vline_ends[-1])
+    common = (params, slots, lengths, vline_ends, jnp.uint32(v_total),
+              max(v_total, 1), 8, 8, 8)
+    packed = rasterize_sort(*common, slot_bits=2)
+    twokey = rasterize_sort(*common, slot_bits=0)
+    for a, b in zip(packed, twokey):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flusher_called():
+    from forma_tpu.buffer import Flusher
+
+    class F(Flusher):
+        def __init__(self):
+            self.calls = 0
+
+        def flush(self, data):
+            self.calls += 1
+            assert data.size > 0
+
+    comp = _scene()
+    f = F()
+    buf = np.zeros((64, 64 * 4), np.uint8)
+    Renderer().render_into(
+        comp, Buffer(buffer=buf, layout=LinearLayout(64, 64 * 4, 64, flusher=f)), CLEAR
+    )
+    assert f.calls == 1
