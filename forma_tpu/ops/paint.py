@@ -413,6 +413,14 @@ def paint(
 
     `row_lo` offsets global pixel coordinates so gradients/textures evaluate
     in absolute space when the framebuffer is sharded by tile rows.
+
+    The fold runs in DEPTH-SORTED WAVES: tiles permute by their unit count
+    (descending) and each wave processes a geometrically shrinking static
+    prefix for the k-range only those tiles still need, so total blend work
+    tracks the sum of per-tile depths instead of tiles x max-depth (one
+    250-layer tile no longer forces 250 full-framebuffer passes).  Nested
+    prefixes in the permuted layout make every wave a static slice — no
+    per-wave gathers.
     """
     n_tiles = rows * tiles_x
     u_cap = key_u.shape[0]
@@ -430,10 +438,26 @@ def paint(
         .set(jnp.arange(u_cap, dtype=jnp.int32), mode="drop")
     )
 
-    # Global pixel coordinates per tile.
-    t_idx = jnp.arange(n_tiles, dtype=jnp.int32)
-    tx_t = t_idx % tiles_x
-    row_t = t_idx // tiles_x
+    # Depth per tile (0 for skipped tiles) and the descending permutation.
+    kmax_t = (
+        jnp.zeros((n_tiles,), jnp.int32).at[tile_t].max(k_u + 1, mode="drop")
+    )
+    if tile_unchanged is not None:
+        kmax_t = jnp.where(tile_unchanged, 0, kmax_t)
+    neg_depth, perm = jax.lax.sort(
+        (-kmax_t, jnp.arange(n_tiles, dtype=jnp.int32)), num_keys=1
+    )
+    depth_sorted = -neg_depth
+
+    table_kt = table[perm].T  # [K, T] in permuted tile order
+    if tile_unchanged is not None:
+        skip_p = tile_unchanged[perm]
+    else:
+        skip_p = None
+
+    # Global pixel coordinates per (permuted) tile.
+    tx_t = perm % tiles_x
+    row_t = perm // tiles_x
     xg = (
         tx_t[:, None, None] * TW + jnp.arange(TW, dtype=jnp.int32)[None, None, :]
     ).astype(jnp.float32) * jnp.ones((1, TH, 1), jnp.float32)
@@ -452,12 +476,13 @@ def paint(
     clip_mask0 = jnp.zeros(shape, jnp.float32) + vary_f
     clip_last0 = jnp.full((n_tiles,), -1, jnp.int32) + vary_i
 
-    def step(k, state):
+    def step_wave(p, k, state):
         dst, clip_mask, clip_last = state
-        u = jax.lax.dynamic_index_in_dim(table.T, k, axis=0, keepdims=False)
+        shape = (p, TH, TW)
+        u = jax.lax.dynamic_index_in_dim(table_kt, k, axis=0, keepdims=False)[:p]
         present = u >= 0
-        if tile_unchanged is not None:
-            present &= ~tile_unchanged
+        if skip_p is not None:
+            present &= ~skip_p[:p]
         uc = jnp.maximum(u, 0)
 
         # Tiny per-tile gathers (T indices) for unit metadata.
@@ -503,11 +528,11 @@ def paint(
         color = st_color[si]
         fill = [color[:, ch][:, None, None] * jnp.ones(shape[1:]) for ch in range(4)]
         if features.has_gradient:
-            gf = _gradient_at(st_grad[si], st_stops[si], xg, yg)
+            gf = _gradient_at(st_grad[si], st_stops[si], xg[:p], yg[:p])
             selg = (ftype == 1)[:, None, None]
             fill = [jnp.where(selg, gg, f) for gg, f in zip(gf, fill)]
         if features.has_texture:
-            tf = _texture_at(st_tex[si], atlas, xg, yg)
+            tf = _texture_at(st_tex[si], atlas, xg[:p], yg[:p])
             selt = (ftype == 2)[:, None, None]
             fill = [jnp.where(selt, t, f) for t, f in zip(tf, fill)]
 
@@ -537,13 +562,40 @@ def paint(
         ) + (dst[3] * inv_src_a + src_a,)
         return new, clip_mask, clip_last
 
-    upper = k_slots if k_active is None else jnp.minimum(k_active, k_slots)
-    dst, _, _ = jax.lax.fori_loop(
-        0, upper, step, (dst0, clip_mask0, clip_last0)
-    )
+    if k_active is None:
+        upper = jnp.int32(k_slots)
+    else:
+        upper = jnp.minimum(k_active, k_slots).astype(jnp.int32)
 
-    # [T, 16, 16] x4 -> [rows*16, tiles_x*16, 4]
-    frame = jnp.stack(dst, axis=-1)  # [T, 16, 16, 4]
+    # Wave schedule: shrinking static prefixes; wave i runs k in
+    # [e_i, e_{i+1}) where e_{i+1} = depth of the first tile OUTSIDE the
+    # next prefix — every shallower tile is already finished.
+    prefixes = [n_tiles]
+    while prefixes[-1] > 256:
+        prefixes.append(max(prefixes[-1] // 4, 256))
+    bounds = [jnp.int32(0)]
+    for nxt in prefixes[1:]:
+        # Max depth of any tile outside the next prefix (sorted descending).
+        bounds.append(jnp.minimum(depth_sorted[nxt], upper))
+    bounds.append(upper)
+
+    state = (dst0, clip_mask0, clip_last0)
+    for i, pfx in enumerate(prefixes):
+        sub = jax.tree_util.tree_map(lambda x: x[:pfx], state)
+        sub = jax.lax.fori_loop(
+            bounds[i],
+            jnp.maximum(bounds[i + 1], bounds[i]),
+            lambda k, s, _p=pfx: step_wave(_p, k, s),
+            sub,
+        )
+        state = jax.tree_util.tree_map(
+            lambda full, part: full.at[: part.shape[0]].set(part), state, sub
+        )
+    dst = state[0]
+
+    # Unpermute and assemble: [T, 16, 16] x4 -> [rows*16, tiles_x*16, 4]
+    frame = jnp.stack(dst, axis=-1)  # [T, 16, 16, 4] permuted tile order
+    frame = jnp.zeros_like(frame).at[perm].set(frame)
     frame = frame.reshape(rows, tiles_x, TH, TW, 4)
     frame = frame.transpose(0, 2, 1, 3, 4).reshape(rows * TH, tiles_x * TW, 4)
     return frame

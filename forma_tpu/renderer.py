@@ -182,6 +182,61 @@ class Renderer:
         )
         return self._tables_cache
 
+    def _estimate_caps(self, composition: Composition, width: int, height: int):
+        """Pre-sizes the capacity buckets from a host-side numpy replay of
+        line setup (transform, cull, Manhattan lengths) so the first device
+        render rarely regrows — every regrowth is a full recompile of the
+        fused pipeline (~minutes through the remote-compile tunnel)."""
+        buf = composition.shared_segment_buffer()
+        x, y, ids = buf.flat()
+        if len(x) < 2:
+            return
+        uniq = self._geom_cache[3] if self._geom_cache else None
+        if uniq is None or not len(uniq):
+            return
+        slots = self._geom_slots(composition, uniq)
+        line_slot = self._geom_cache[2]
+        ls = np.asarray(line_slot)
+        gi = np.maximum(ls, 0)
+        reg = composition._shared.registry
+        rslots = np.maximum(slots, 0)
+        valid = (ls >= 0) & (slots[gi] >= 0) & reg.valid[rslots[gi]]
+        t = reg.tform[rslots[gi]]
+        has_t = reg.has_t[rslots[gi]]
+        p0x, p0y = x[:-1], y[:-1]
+        p1x, p1y = x[1:], y[1:]
+        with np.errstate(invalid="ignore"):
+            q0x = np.where(has_t, t[:, 0] * p0x + t[:, 2] * p0y + t[:, 4], p0x)
+            q0y = np.where(has_t, t[:, 1] * p0x + t[:, 3] * p0y + t[:, 5], p0y)
+            q1x = np.where(has_t, t[:, 0] * p1x + t[:, 2] * p1y + t[:, 4], p1x)
+            q1y = np.where(has_t, t[:, 1] * p1x + t[:, 3] * p1y + t[:, 5], p1y)
+            skip = (
+                (q0y == q1y)
+                | ((q0y >= height) & (q1y >= height))
+                | ((q0x >= width) & (q1x >= width))
+                | ((q0y <= 0) & (q1y <= 0))
+            )
+            valid &= ~skip
+
+            def ib(u, v):
+                mn = np.minimum(u, v)
+                mx = np.maximum(u, v)
+                return np.maximum((np.ceil(mx) - np.floor(mn) - 1), 0)
+
+            lengths = np.where(valid, ib(q0x, q1x) + ib(q0y, q1y) + 1, 0)
+            vlines = int(np.ceil(lengths / _pipe.K_SEG).sum())
+        # vline is exact; k is free at runtime (the wave fold is bounded by
+        # actual depth, the static cap only sizes the slot table).  run/virt
+        # have no tight host bound — their diag-driven growth lands on the
+        # right bucket in one step.
+        caps = self._caps
+        self._caps = _pipe.Caps(
+            vline=max(caps.vline, _bucket_fine(vlines + 512)),
+            run=caps.run,
+            virt=caps.virt,
+            k=max(caps.k, 256 if vlines > 100_000 else caps.k),
+        )
+
     # -- rendering ----------------------------------------------------------
 
     def render(
@@ -276,6 +331,7 @@ class Renderer:
         chans = tuple(ch.value for ch in channels)
 
         px, py, line_slot, uniq = self._prepare_geometry(composition)
+        self._estimate_caps(composition, width, height)
         skey = (
             composition.shared_segment_buffer().serial,
             composition._shared.scene_version,
@@ -393,6 +449,7 @@ class Renderer:
             crop_x_t = (jnp.int32(crop_x[0]), jnp.int32(crop_x[1]))
 
         px, py, line_slot, uniq = self._prepare_geometry(composition)
+        self._estimate_caps(composition, width, height)
 
         # Style tables depend on membership + props, NOT transforms: per-frame
         # animation re-uploads only the small transform tables below.
