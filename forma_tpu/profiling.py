@@ -1,0 +1,178 @@
+"""Per-stage timing: the `gpu::Timings` analog
+(`forma/src/gpu/renderer/mod.rs:24-36,392-427`).
+
+The production path dispatches ONE fused program per frame, so per-stage
+numbers come from a profiling re-run that dispatches each stage separately
+with `jax.device_get`-fenced timing (`block_until_ready` can return before
+execution completes on the axon TPU tunnel — round-1 bug).  Every number
+includes the dispatch floor (~28 ms through the tunnel), reported as
+`dispatch_floor_ms` so callers can subtract it.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import NamedTuple
+
+import numpy as np
+
+
+class Timings(NamedTuple):
+    """Stage wall times in ms (each includes one dispatch round-trip)."""
+
+    line_setup: float
+    rasterize_sort: float
+    runs: float
+    units: float
+    cull: float
+    paint: float
+    srgb: float
+    fused_frame: float  # the real single-dispatch frame time
+    dispatch_floor_ms: float
+    k_active: int
+
+
+def _checksum(x):
+    import jax.numpy as jnp
+
+    if isinstance(x, (tuple, list)):
+        return sum(_checksum(v) for v in x)
+    if isinstance(x, dict):
+        return sum(_checksum(v) for v in x.values())
+    x = jnp.asarray(x)
+    if x.dtype == jnp.bool_:
+        x = x.astype(jnp.int32)
+    return x.reshape(-1)[:: max(x.size // 64, 1)].astype(jnp.float32).sum()
+
+
+def _timeit(fn, n=3):
+    import jax
+
+    f = jax.jit(lambda: _checksum(fn()))
+    jax.device_get(f())  # compile + warm
+    times = []
+    for _ in range(n):
+        t0 = time.time()
+        jax.device_get(f())
+        times.append(time.time() - t0)
+    return min(times) * 1000.0
+
+
+def profile_frame(renderer, composition, width, height, clear_color, channels=None):
+    """Runs every pipeline stage separately with fenced timing; returns
+    `Timings` and stores it on `renderer.last_timings`."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import consts
+    from .buffer import RGBA
+    from .ops import line_setup as _ls
+    from .ops import paint as _paint
+    from .ops import pipeline as _pipe
+    from .ops import rasterize as _raster
+    from .ops import runs as _runs
+    from .ops import srgb as _srgb
+
+    channels = channels or RGBA
+    chans = tuple(ch.value for ch in channels)
+
+    # Warm caps through the normal path first.
+    frame, diag = renderer.render_device(composition, width, height, clear_color, channels)
+    caps = renderer._caps
+    rows = -(-height // consts.TILE_HEIGHT)
+    tiles_x = -(-width // consts.TILE_WIDTH)
+
+    px, py, line_slot, uniq = renderer._prepare_geometry(composition)
+    st_host, st = renderer._styles_cache
+    g = renderer._geom_tables(composition, uniq, st_host.orders)
+    features = st_host.features
+    clear = jnp.asarray(clear_color.to_array(), jnp.float32)
+
+    floor = _timeit(lambda: jnp.zeros((8, 128), jnp.float32) + 1.0)
+
+    sl = st["orders"].shape[0]
+    slot_bits = max((sl - 1).bit_length(), 1)
+    if (rows + 1).bit_length() + max((tiles_x + 1).bit_length(), 1) + slot_bits > 31:
+        slot_bits = 0
+
+    def do_ls():
+        return _ls.line_setup(px, py, line_slot, *g, width, height, k_seg=_pipe.K_SEG)
+
+    t_ls = _timeit(do_ls)
+    params, slots, lengths, vline_ends = jax.jit(do_ls)()
+    v_total = jnp.minimum(vline_ends[-1], jnp.uint32(caps.vline))
+
+    def do_raster():
+        return _raster.rasterize_sort(
+            params, slots, lengths, vline_ends, v_total,
+            caps.vline, _pipe.K_SEG, rows, tiles_x, slot_bits=slot_bits,
+        )
+
+    t_rs = _timeit(do_raster)
+    kh, kl, payload = jax.jit(do_raster)()
+    run_id, num_runs, new_run = jax.jit(lambda: _runs.extract_runs(kh, kl))()
+
+    st_opaque = (
+        (st["func"] == 0) & (st["fill_type"] == 0)
+        & (st["color"][:, 3] == 1.0) & (st["blend"] == 0) & (~st["is_clipped"])
+    )
+    st_isclip = st["func"] == 1
+
+    def do_runs():
+        return _runs.run_data(
+            kh, kl, payload, run_id, new_run, jnp.minimum(num_runs, caps.run),
+            st["pidx"], st["fill_rule"], st_opaque, st_isclip, caps.run, tiles_x,
+        )
+
+    t_rd = _timeit(do_runs)
+    rd = jax.jit(do_runs)()
+
+    def do_units():
+        return _runs.build_units(
+            rd["run_hi"], rd["run_layer"], rd["r_valid"], rd["real_flags"],
+            rd["key2_s"], rd["tx_s"], rd["gap_flags_s"], rd["span"],
+            rd["cumspan"], jnp.minimum(rd["v_total"], caps.virt), caps.virt,
+        )
+
+    t_bu = _timeit(do_units)
+    bu = jax.jit(do_units)()
+
+    t_cu = _timeit(lambda: _paint.cull_units(*bu[:6]))
+    cu = jax.jit(lambda: _paint.cull_units(*bu[:6]))()
+
+    def do_paint():
+        return _paint.paint(
+            *cu[:6], rd["grid"], rd["carry_in"], rd["carry_after_s"],
+            st["orders"], st["pidx"], st["fill_rule"], st["func"], st["clip_n"],
+            st["is_clipped"], st["blend"], st["fill_type"], st["color"],
+            st["grad"], st["stops"], st["tex"], st["atlas"], clear,
+            rows, tiles_x, caps.k, features,
+            k_active=jnp.minimum(cu[6], caps.k),
+        )
+
+    t_pt = _timeit(do_paint)
+    pt = jax.jit(do_paint)()
+    t_srgb = _timeit(lambda: _srgb.pack_srgb(pt, chans))
+
+    def do_fused():
+        return _pipe.render_frame(
+            px, py, line_slot, *g, st, clear, width, height, rows, tiles_x,
+            caps, features, chans,
+        )[0]
+
+    t_fused = _timeit(do_fused)
+
+    t = Timings(
+        line_setup=t_ls,
+        rasterize_sort=t_rs,
+        runs=t_rd,
+        units=t_bu,
+        cull=t_cu,
+        paint=t_pt,
+        srgb=t_srgb,
+        fused_frame=t_fused,
+        dispatch_floor_ms=floor,
+        k_active=int(np.asarray(cu[6])),
+    )
+    renderer.last_timings = t
+    return t

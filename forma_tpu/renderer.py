@@ -61,6 +61,14 @@ class Renderer:
         self._caps = _pipe.Caps()
         self._cache_slots = 0  # 32-bit set (`SmallBitSet`, renderer.rs:67-73)
         self.last_diag: Optional[np.ndarray] = None
+        self.last_timings = None  # set by forma_tpu.profiling.profile_frame
+
+    def profile_frame(self, composition, width, height, clear_color, channels=None):
+        """Per-stage `Timings` (the `gpu::Timings` analog) via a profiling
+        re-run with fenced per-stage dispatches; see forma_tpu/profiling.py."""
+        from .profiling import profile_frame
+
+        return profile_frame(self, composition, width, height, clear_color, channels)
 
     # -- layer caches ---------------------------------------------------------
 
