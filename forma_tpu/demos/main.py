@@ -35,6 +35,11 @@ def main(argv=None):
         sp.add_argument("--frames", type=int, default=1)
         sp.add_argument("--out", default="frame")
         sp.add_argument("--no-save", action="store_true")
+        sp.add_argument(
+            "--timings", action="store_true",
+            help="print per-stage Timings (the reference's gpu::Timings "
+            "window-title stats; tpu device only)",
+        )
 
     args = ap.parse_args(argv)
 
@@ -109,6 +114,16 @@ def main(argv=None):
             PILImage.fromarray(img, "RGBA").save(name)
     stats = (min(times) * 1e3, sum(times) / len(times) * 1e3, max(times) * 1e3)
     print(f"frames: {len(times)}  min/avg/max ms: {stats[0]:.1f}/{stats[1]:.1f}/{stats[2]:.1f}")
+
+    if getattr(args, "timings", False) and args.device == "tpu":
+        t = renderer.profile_frame(comp, args.width, args.height, Color(1, 1, 1, 1))
+        print(
+            "timings ms: "
+            f"line_setup {t.line_setup:.1f} | rasterize+sort {t.rasterize_sort:.1f} | "
+            f"runs {t.runs:.1f} | units {t.units:.1f} | cull {t.cull:.1f} | "
+            f"paint {t.paint:.1f} | srgb {t.srgb:.1f} | fused {t.fused_frame:.1f} "
+            f"(dispatch floor ~{t.dispatch_floor_ms:.1f})"
+        )
 
 
 def _texture_scene(comp, width, height):

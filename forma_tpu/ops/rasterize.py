@@ -114,22 +114,25 @@ def rasterize_sort(
     j = (iota_v - base).astype(jnp.int32)  # vline index within its line
     v_live = iota_v < v_total
 
-    # Two row-gathers for all per-line data.
+    # Two row-gathers for all per-line data.  All dense math below runs in
+    # [k_seg, V] orientation: V in the minor (lane) dimension keeps the VPU
+    # fully occupied — a [V, 8] layout would pad 8 lanes to 128 and waste
+    # 94% of both compute and memory.
     P = params[li]  # [V, 14]
     slot_v = slots[li]
     len_v = lengths[li]
 
-    av = P[:, PA : PA + 1]
-    bv = P[:, PB : PB + 1]
-    cv = P[:, PC : PC + 1]
-    dv = P[:, PD : PD + 1]
-    a_over = ff64.FF(P[:, PAOH : PAOH + 1], P[:, PAOL : PAOL + 1])
-    b_over = ff64.FF(P[:, PBOH : PBOH + 1], P[:, PBOL : PBOL + 1])
-    cd_over = ff64.FF(P[:, PCDH : PCDH + 1], P[:, PCDL : PCDL + 1])
+    av = P[:, PA][None, :]
+    bv = P[:, PB][None, :]
+    cv = P[:, PC][None, :]
+    dv = P[:, PD][None, :]
+    a_over = ff64.FF(P[:, PAOH][None, :], P[:, PAOL][None, :])
+    b_over = ff64.FF(P[:, PBOH][None, :], P[:, PBOL][None, :])
+    cd_over = ff64.FF(P[:, PCDH][None, :], P[:, PCDL][None, :])
 
     seg_lo = j * k_seg
-    i_rel = seg_lo[:, None] + jnp.arange(k_seg, dtype=jnp.int32)[None, :]
-    in_range = v_live[:, None] & (i_rel < len_v[:, None])
+    i_rel = seg_lo[None, :] + jnp.arange(k_seg, dtype=jnp.int32)[:, None]
+    in_range = v_live[None, :] & (i_rel < len_v[None, :])
 
     # get_ith_pixel_segment_params (`rasterizer.rs:63-76`).
     ii = i_rel - (cv != 0.0).astype(jnp.int32) - (dv != 0.0).astype(jnp.int32)
@@ -142,10 +145,10 @@ def rasterize_sort(
         1.0,
     )
 
-    x0v = P[:, PX0 : PX0 + 1]
-    y0v = P[:, PY0 : PY0 + 1]
-    dxv = P[:, PDX : PDX + 1]
-    dyv = P[:, PDY : PDY + 1]
+    x0v = P[:, PX0][None, :]
+    y0v = P[:, PY0][None, :]
+    dxv = P[:, PDX][None, :]
+    dyv = P[:, PDY][None, :]
     x0f = t0 * dxv + x0v
     y0f = t0 * dyv + y0v
     x1f = t1 * dxv + x0v
@@ -178,7 +181,7 @@ def rasterize_sort(
     valid = in_range & (tile_y >= 0) & (tile_y < rows) & (tile_x < tiles_x)
 
     key_lo2 = jnp.broadcast_to(
-        slot_v[:, None].astype(jnp.uint32), (v_cap, k_seg)
+        slot_v[None, :].astype(jnp.uint32), (k_seg, v_cap)
     )
     key_lo = jnp.where(valid, key_lo2, 0).reshape(-1)
 

@@ -45,15 +45,18 @@ def _checksum(x):
     return x.reshape(-1)[:: max(x.size // 64, 1)].astype(jnp.float32).sum()
 
 
-def _timeit(fn, n=3):
+def _timeit(fn, *args, n=3):
+    """Times fn(*args) with device_get fencing.  Arrays MUST be arguments —
+    a no-arg closure embeds device arrays as HLO constants, ballooning the
+    program past the remote-compile tunnel's size limit."""
     import jax
 
-    f = jax.jit(lambda: _checksum(fn()))
-    jax.device_get(f())  # compile + warm
+    f = jax.jit(lambda *a: _checksum(fn(*a)))
+    jax.device_get(f(*args))  # compile + warm
     times = []
     for _ in range(n):
         t0 = time.time()
-        jax.device_get(f())
+        jax.device_get(f(*args))
         times.append(time.time() - t0)
     return min(times) * 1000.0
 
@@ -88,29 +91,30 @@ def profile_frame(renderer, composition, width, height, clear_color, channels=No
     features = st_host.features
     clear = jnp.asarray(clear_color.to_array(), jnp.float32)
 
-    floor = _timeit(lambda: jnp.zeros((8, 128), jnp.float32) + 1.0)
+    floor = _timeit(lambda z: z + 1.0, jnp.zeros((8, 128), jnp.float32))
 
     sl = st["orders"].shape[0]
     slot_bits = max((sl - 1).bit_length(), 1)
     if (rows + 1).bit_length() + max((tiles_x + 1).bit_length(), 1) + slot_bits > 31:
         slot_bits = 0
 
-    def do_ls():
+    def do_ls(px, py, line_slot, *g):
         return _ls.line_setup(px, py, line_slot, *g, width, height, k_seg=_pipe.K_SEG)
 
-    t_ls = _timeit(do_ls)
-    params, slots, lengths, vline_ends = jax.jit(do_ls)()
+    t_ls = _timeit(do_ls, px, py, line_slot, *g)
+    params, slots, lengths, vline_ends = jax.jit(do_ls)(px, py, line_slot, *g)
     v_total = jnp.minimum(vline_ends[-1], jnp.uint32(caps.vline))
 
-    def do_raster():
+    def do_raster(params, slots, lengths, vline_ends, v_total):
         return _raster.rasterize_sort(
             params, slots, lengths, vline_ends, v_total,
             caps.vline, _pipe.K_SEG, rows, tiles_x, slot_bits=slot_bits,
         )
 
-    t_rs = _timeit(do_raster)
-    kh, kl, payload = jax.jit(do_raster)()
-    run_id, num_runs, new_run = jax.jit(lambda: _runs.extract_runs(kh, kl))()
+    raster_args = (params, slots, lengths, vline_ends, v_total)
+    t_rs = _timeit(do_raster, *raster_args)
+    kh, kl, payload = jax.jit(do_raster)(*raster_args)
+    run_id, num_runs, new_run = jax.jit(_runs.extract_runs)(kh, kl)
 
     st_opaque = (
         (st["func"] == 0) & (st["fill_type"] == 0)
@@ -118,49 +122,54 @@ def profile_frame(renderer, composition, width, height, clear_color, channels=No
     )
     st_isclip = st["func"] == 1
 
-    def do_runs():
+    def do_runs(kh, kl, payload, run_id, new_run, nr, pidx, fr, op, ic):
         return _runs.run_data(
-            kh, kl, payload, run_id, new_run, jnp.minimum(num_runs, caps.run),
-            st["pidx"], st["fill_rule"], st_opaque, st_isclip, caps.run, tiles_x,
+            kh, kl, payload, run_id, new_run, nr,
+            pidx, fr, op, ic, caps.run, tiles_x,
         )
 
-    t_rd = _timeit(do_runs)
-    rd = jax.jit(do_runs)()
+    runs_args = (kh, kl, payload, run_id, new_run,
+                 jnp.minimum(num_runs, caps.run),
+                 st["pidx"], st["fill_rule"], st_opaque, st_isclip)
+    t_rd = _timeit(do_runs, *runs_args)
+    rd = jax.jit(do_runs)(*runs_args)
 
-    def do_units():
+    def do_units(rd, vt):
         return _runs.build_units(
             rd["run_hi"], rd["run_layer"], rd["r_valid"], rd["real_flags"],
             rd["key2_s"], rd["tx_s"], rd["gap_flags_s"], rd["span"],
-            rd["cumspan"], jnp.minimum(rd["v_total"], caps.virt), caps.virt,
+            rd["cumspan"], vt, caps.virt,
         )
 
-    t_bu = _timeit(do_units)
-    bu = jax.jit(do_units)()
+    vt = jnp.minimum(rd["v_total"], caps.virt)
+    t_bu = _timeit(do_units, rd, vt)
+    bu = jax.jit(do_units)(rd, vt)
 
-    t_cu = _timeit(lambda: _paint.cull_units(*bu[:6]))
-    cu = jax.jit(lambda: _paint.cull_units(*bu[:6]))()
+    t_cu = _timeit(lambda *u: _paint.cull_units(*u), *bu[:6])
+    cu = jax.jit(_paint.cull_units)(*bu[:6])
 
-    def do_paint():
+    def do_paint(cu6, rd, st, clear, ka):
         return _paint.paint(
-            *cu[:6], rd["grid"], rd["carry_in"], rd["carry_after_s"],
+            *cu6, rd["grid"], rd["carry_in"], rd["carry_after_s"],
             st["orders"], st["pidx"], st["fill_rule"], st["func"], st["clip_n"],
             st["is_clipped"], st["blend"], st["fill_type"], st["color"],
             st["grad"], st["stops"], st["tex"], st["atlas"], clear,
             rows, tiles_x, caps.k, features,
-            k_active=jnp.minimum(cu[6], caps.k),
+            k_active=ka,
         )
 
-    t_pt = _timeit(do_paint)
-    pt = jax.jit(do_paint)()
-    t_srgb = _timeit(lambda: _srgb.pack_srgb(pt, chans))
+    ka = jnp.minimum(cu[6], caps.k)
+    t_pt = _timeit(do_paint, tuple(cu[:6]), rd, st, clear, ka)
+    pt = jax.jit(do_paint)(tuple(cu[:6]), rd, st, clear, ka)
+    t_srgb = _timeit(lambda pt: _srgb.pack_srgb(pt, chans), pt)
 
-    def do_fused():
+    def do_fused(px, py, line_slot, g, st, clear):
         return _pipe.render_frame(
             px, py, line_slot, *g, st, clear, width, height, rows, tiles_x,
             caps, features, chans,
         )[0]
 
-    t_fused = _timeit(do_fused)
+    t_fused = _timeit(do_fused, px, py, line_slot, g, st, clear)
 
     t = Timings(
         line_setup=t_ls,

@@ -196,6 +196,16 @@ class Renderer:
         render rarely regrows — every regrowth is a full recompile of the
         fused pipeline (~minutes through the remote-compile tunnel)."""
         buf = composition.shared_segment_buffer()
+        shared = composition._shared
+        # Keyed on membership/geometry, NOT transforms: per-frame animation
+        # shifts lengths only slightly and the diag-driven growth catches any
+        # overflow; re-running the numpy replay per frame would be host-bound.
+        ekey = (
+            buf.serial, buf.version, shared.scene_version, width, height,
+        )
+        if getattr(self, "_estimate_key", None) == ekey:
+            return
+        self._estimate_key = ekey
         x, y, ids = buf.flat()
         if len(x) < 2:
             return

@@ -12,6 +12,10 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+import forma_tpu
+
+forma_tpu.enable_compilation_cache()
+
 from forma_tpu import Color, Composition
 from forma_tpu.demos import scenes
 from forma_tpu.profiling import profile_frame
