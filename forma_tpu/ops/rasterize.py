@@ -119,8 +119,9 @@ def rasterize_sort(
     # fully occupied — a [V, 8] layout would pad 8 lanes to 128 and waste
     # 94% of both compute and memory.
     P = params[li]  # [V, 14]
-    slot_v = slots[li]
-    len_v = lengths[li]
+    M = jnp.stack([slots, lengths], axis=1)[li]  # one row gather, not two
+    slot_v = M[:, 0]
+    len_v = M[:, 1]
 
     av = P[:, PA][None, :]
     bv = P[:, PB][None, :]

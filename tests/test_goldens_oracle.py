@@ -33,10 +33,11 @@ def _load_golden(name):
 
 @pytest.mark.parametrize("name,scene", list(S.all_scenes()))
 def test_golden(name, scene):
+    from report import GLOBAL_REPORT
+
     expected = _load_golden(name)
     composition = Composition()
     scene(composition)
     actual = render(composition, 64, 64, clear_color=CLEAR)
-    diff = np.abs(actual.astype(int) - expected.astype(int))
-    bad = int((diff.max(axis=-1) > 8).sum())
-    assert bad == 0, f"{name}: {bad} pixels exceed tolerance (max diff {diff.max()})"
+    passed, bad = GLOBAL_REPORT.record(name + "__oracle", actual, expected)
+    assert passed, f"{name}: {bad} pixels exceed tolerance"
