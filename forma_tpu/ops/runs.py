@@ -97,19 +97,39 @@ def run_data(
         .add(val, mode="drop")
     )
 
-    # Run metadata by stream compaction: sort boundary positions to the
-    # front, carrying the keys (replaces searchsorted of `PrefixScanIter`).
-    pos = jnp.where(
-        new_run, jnp.arange(seg_n, dtype=jnp.uint32), jnp.uint32(0xFFFFFFFF)
+    # Run metadata by BLOCKED stream compaction: a batched per-block sort
+    # moves boundary segments to each block's front (batched row sorts are
+    # ~free on TPU, unlike one full-array sort), cheap prefix ops map run
+    # ordinals to (block, slot), and the keys arrive via run-count scalar
+    # gathers.  Replaces both the searchsorted of `PrefixScanIter` and a
+    # full-size compaction sort.
+    B = 128
+    assert seg_n % B == 0, "segment capacity must be a multiple of 128"
+    nb = seg_n // B
+    lane = jnp.arange(B, dtype=jnp.int32)[None, :]
+    nr2 = new_run.reshape(nb, B)
+    blk_key = jnp.where(nr2, lane, lane + B)
+    blk_key_s, kh_s, kl_s = jax.lax.sort(
+        (blk_key, key_hi.reshape(nb, B), key_lo.reshape(nb, B)),
+        num_keys=1,
+        dimension=1,
     )
-    pos_s, rh_s, rl_s = jax.lax.sort((pos, key_hi, key_lo), num_keys=1)
-    run_hi = rh_s[:run_cap]
-    run_layer = rl_s[:run_cap]
-    r_valid = (
-        (pos_s[:run_cap] != jnp.uint32(0xFFFFFFFF))
-        & (run_hi != SENTINEL)
-        & (jnp.arange(run_cap) < num_runs)
+    counts = jnp.sum(nr2, axis=1, dtype=jnp.int32)  # boundaries per block
+    offs = jnp.cumsum(counts) - counts  # exclusive: ordinal of block's first
+    bidx = jnp.arange(nb, dtype=jnp.int32)
+    has = counts > 0
+    start_pos = jnp.where(has, offs, run_cap)  # dropped when empty
+    block_of = jax.lax.cummax(
+        jnp.zeros(run_cap, jnp.int32).at[start_pos].max(bidx, mode="drop")
     )
+    base_of = jax.lax.cummax(
+        jnp.zeros(run_cap, jnp.int32).at[start_pos].max(offs, mode="drop")
+    )
+    r = jnp.arange(run_cap, dtype=jnp.int32)
+    slot_in_blk = jnp.minimum(r - base_of, B - 1)
+    run_hi = kh_s[block_of, slot_in_blk]
+    run_layer = kl_s[block_of, slot_in_blk]
+    r_valid = (r < num_runs) & (run_hi != SENTINEL)
     run_hi = jnp.where(r_valid, run_hi, SENTINEL)
 
     _, cover_cells = unpack_grid(grid)
