@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--scene", default="paris", choices=["paris", "circles"])
     ap.add_argument("--animate", action="store_true")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument(
+        "--trace", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the timed frames into DIR",
+    )
     args = ap.parse_args()
 
     import jax
@@ -100,18 +104,26 @@ def main():
 
     caps = renderer._caps
     n = args.frames
+    import contextlib
+
     for _attempt in range(3):
+        trace_cm = (
+            jax.profiler.trace(args.trace)
+            if args.trace and _attempt == 0
+            else contextlib.nullcontext()
+        )
         diags = []
         t0 = time.time()
-        for i in range(n):
-            if args.animate:
-                comp.set_transforms(orders, frame_transform(i))
-            frame, diag = renderer.render_device(
-                comp, args.width, args.height, clear, check_caps=False
-            )
-            diags.append(diag)
-        # Fence on actual pixels of the last frame.
-        jax.device_get(frame[0, 0])
+        with trace_cm:
+            for i in range(n):
+                if args.animate:
+                    comp.set_transforms(orders, frame_transform(i))
+                frame, diag = renderer.render_device(
+                    comp, args.width, args.height, clear, check_caps=False
+                )
+                diags.append(diag)
+            # Fence on actual pixels of the last frame.
+            jax.device_get(frame[0, 0])
         dt = time.time() - t0
         # Validate: no frame overflowed its capacity buckets.
         ds = np.stack([np.asarray(d) for d in diags])

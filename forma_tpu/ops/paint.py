@@ -473,11 +473,18 @@ def paint(
     vary_f = jnp.float32(row_lo) * 0.0
     vary_i = jnp.int32(row_lo) * 0
     dst0 = tuple(jnp.full(shape, clear_color[ch]) + vary_f for ch in range(4))
-    clip_mask0 = jnp.zeros(shape, jnp.float32) + vary_f
-    clip_last0 = jnp.full((n_tiles,), -1, jnp.int32) + vary_i
+    if features.has_clip:
+        clip_state0 = (
+            jnp.zeros(shape, jnp.float32) + vary_f,
+            jnp.full((n_tiles,), -1, jnp.int32) + vary_i,
+        )
+    else:  # no clip state carried through the fold at all
+        clip_state0 = ()
 
     def step_wave(p, k, state):
-        dst, clip_mask, clip_last = state
+        dst = state[:4]
+        if features.has_clip:
+            clip_mask, clip_last = state[4:]
         shape = (p, TH, TW)
         u = jax.lax.dynamic_index_in_dim(table_kt, k, axis=0, keepdims=False)[:p]
         present = u >= 0
@@ -560,7 +567,9 @@ def paint(
             dst[ch] * inv_src_a + (fill[ch] * inv_dst_a_src_a + blended[ch] * dst_a_src_a)
             for ch in range(3)
         ) + (dst[3] * inv_src_a + src_a,)
-        return new, clip_mask, clip_last
+        if features.has_clip:
+            return new + (clip_mask, clip_last)
+        return new
 
     if k_active is None:
         upper = jnp.int32(k_slots)
@@ -579,7 +588,7 @@ def paint(
         bounds.append(jnp.minimum(depth_sorted[nxt], upper))
     bounds.append(upper)
 
-    state = (dst0, clip_mask0, clip_last0)
+    state = dst0 + clip_state0
     for i, pfx in enumerate(prefixes):
         sub = jax.tree_util.tree_map(lambda x: x[:pfx], state)
         sub = jax.lax.fori_loop(
@@ -591,7 +600,7 @@ def paint(
         state = jax.tree_util.tree_map(
             lambda full, part: full.at[: part.shape[0]].set(part), state, sub
         )
-    dst = state[0]
+    dst = state[:4]
 
     # Unpermute and assemble: [T, 16, 16] x4 -> [rows*16, tiles_x*16, 4]
     frame = jnp.stack(dst, axis=-1)  # [T, 16, 16, 4] permuted tile order

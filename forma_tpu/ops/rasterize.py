@@ -118,8 +118,14 @@ def rasterize_sort(
     # [k_seg, V] orientation: V in the minor (lane) dimension keeps the VPU
     # fully occupied — a [V, 8] layout would pad 8 lanes to 128 and waste
     # 94% of both compute and memory.
-    P = params[li]  # [V, 14]
-    M = jnp.stack([slots, lengths], axis=1)[li]  # one row gather, not two
+    # ONE row gather for all per-line data: the i32 meta columns ride along
+    # bitcast as f32 (gathers copy bits, no arithmetic touches them).
+    meta_f = jax.lax.bitcast_convert_type(
+        jnp.stack([slots, lengths], axis=1), jnp.float32
+    )
+    A = jnp.concatenate([params, meta_f], axis=1)[li]  # [V, 16]
+    P = A[:, :N_PARAMS]
+    M = jax.lax.bitcast_convert_type(A[:, N_PARAMS:], jnp.int32)
     slot_v = M[:, 0]
     len_v = M[:, 1]
 
@@ -135,16 +141,14 @@ def rasterize_sort(
     i_rel = seg_lo[None, :] + jnp.arange(k_seg, dtype=jnp.int32)[:, None]
     in_range = v_live[None, :] & (i_rel < len_v[None, :])
 
-    # get_ith_pixel_segment_params (`rasterizer.rs:63-76`).
-    ii = i_rel - (cv != 0.0).astype(jnp.int32) - (dv != 0.0).astype(jnp.int32)
-
-    t0 = jnp.maximum(
-        _find(ii.astype(jnp.float32), a_over, b_over, cd_over, av, bv, cv, dv), 0.0
-    )
-    t1 = jnp.minimum(
-        _find((ii + 1).astype(jnp.float32), a_over, b_over, cd_over, av, bv, cv, dv),
-        1.0,
-    )
+    # get_ith_pixel_segment_params (`rasterizer.rs:63-76`).  Consecutive
+    # segments share a boundary, so the merged-progression lookup evaluates
+    # once per k_seg+1 boundaries instead of twice per segment.
+    ii9 = seg_lo[None, :] + jnp.arange(k_seg + 1, dtype=jnp.int32)[:, None]
+    ii9 = ii9 - (cv != 0.0).astype(jnp.int32) - (dv != 0.0).astype(jnp.int32)
+    F = _find(ii9.astype(jnp.float32), a_over, b_over, cd_over, av, bv, cv, dv)
+    t0 = jnp.maximum(F[:-1], 0.0)
+    t1 = jnp.minimum(F[1:], 1.0)
 
     x0v = P[:, PX0][None, :]
     y0v = P[:, PY0][None, :]
