@@ -45,6 +45,15 @@ class AtlasAllocator:
         """Starts a new frame: nothing is marked live yet."""
         self._live = set()
 
+    def end_frame(self) -> bool:
+        """Drops allocations not referenced this frame (the reference
+        deallocates eagerly in `end_populate`, `style_map.rs:94-98`);
+        returns True when entries moved (callers must re-blit)."""
+        if any(iid not in self._live for iid in self._allocs):
+            self.compact()
+            return True
+        return False
+
     def allocate(self, image_id: int, w: int, h: int) -> Tuple[int, int]:
         """Returns (x, y) for the image, reusing a prior allocation when the
         id is already resident; GCs dead entries and repacks on pressure."""

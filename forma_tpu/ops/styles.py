@@ -56,12 +56,15 @@ class StyleMap:
         self.allocator.begin_frame()
         if not images:
             return np.zeros((1, 1, 4), np.float32)
+        for iid, im in images.items():
+            self.allocator.allocate(iid, im.shape[1], im.shape[0])
+        if self.allocator.end_frame():
+            self._blitted = {}  # entries moved; re-blit everything live
         placements = {}
         width = 0
-        for iid, im in images.items():
-            x, y = self.allocator.allocate(iid, im.shape[1], im.shape[0])
+        for iid, (x, y, _, _) in self.allocator.rects().items():
             placements[iid] = (x, y)
-            width = max(width, x + im.shape[1])
+            width = max(width, x + images[iid].shape[1])
         height = self.allocator.used_height
         if (
             self._atlas_host is None
