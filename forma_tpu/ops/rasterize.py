@@ -118,14 +118,13 @@ def rasterize_sort(
     # [k_seg, V] orientation: V in the minor (lane) dimension keeps the VPU
     # fully occupied — a [V, 8] layout would pad 8 lanes to 128 and waste
     # 94% of both compute and memory.
-    # ONE row gather for all per-line data: the i32 meta columns ride along
-    # bitcast as f32 (gathers copy bits, no arithmetic touches them).
-    meta_f = jax.lax.bitcast_convert_type(
-        jnp.stack([slots, lengths], axis=1), jnp.float32
-    )
-    A = jnp.concatenate([params, meta_f], axis=1)[li]  # [V, 16]
-    P = A[:, :N_PARAMS]
-    M = jax.lax.bitcast_convert_type(A[:, N_PARAMS:], jnp.int32)
+    # Two row gathers for all per-line data.  (Do NOT bitcast the i32 meta
+    # into the f32 matrix to save a gather: int bit patterns are f32
+    # denormals and TPU compilations can route the gather through
+    # flush-to-zero datapaths — observed zeroing every small length in a
+    # standalone compile while the fused pipeline happened to survive.)
+    P = params[li]  # [V, 14]
+    M = jnp.stack([slots, lengths], axis=1)[li]  # [V, 2] i32
     slot_v = M[:, 0]
     len_v = M[:, 1]
 
