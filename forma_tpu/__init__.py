@@ -18,11 +18,15 @@ from .buffer import (  # noqa: F401
     RGB1,
     RGBA,
     Buffer,
+    BufferBuilder,
     BufferLayerCache,
     Channel,
+    Flusher,
+    Layout,
     LinearLayout,
     Rect,
 )
+from .profiling import Timings  # noqa: F401
 from .composition import Composition, GeomId, Layer, Order, OrderError  # noqa: F401
 from .math import AffineTransform, GeomPresTransform, Point  # noqa: F401
 from .path import Path, PathBuilder  # noqa: F401

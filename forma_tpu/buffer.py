@@ -171,3 +171,22 @@ class Buffer:
     buffer: np.ndarray
     layout: LinearLayout
     layer_cache: Optional[BufferLayerCache] = None
+
+
+class BufferBuilder:
+    """Fluent builder binding a byte buffer + layout + optional layer cache
+    (`forma/src/cpu/buffer/mod.rs:43-97`)."""
+
+    def __init__(self, buffer: np.ndarray, layout: Layout):
+        self._buffer = buffer
+        self._layout = layout
+        self._layer_cache: Optional[BufferLayerCache] = None
+
+    def layer_cache(self, cache: BufferLayerCache) -> "BufferBuilder":
+        self._layer_cache = cache
+        return self
+
+    def build(self) -> Buffer:
+        return Buffer(
+            buffer=self._buffer, layout=self._layout, layer_cache=self._layer_cache
+        )
