@@ -349,6 +349,20 @@ class Renderer:
         n_tiles = rows * tiles_x
         chans = tuple(ch.value for ch in channels)
 
+        # Completely unchanged scene: re-emit the cached frame with no device
+        # dispatch at all (the whole-frame analog of TileWriteOp::None).
+        shared = composition._shared
+        vkey = (
+            shared.segment_buffer.serial, shared.segment_buffer.version,
+            shared.scene_version, shared.style_version, shared.tform_version,
+            width, height, chans, clear_color,
+        )
+        if cache.prev_frame is not None and getattr(cache, "_vkey", None) == vkey:
+            if self.last_diag is not None:
+                self.last_diag = self.last_diag.copy()
+                self.last_diag[_pipe.DIAG_K] = 0  # nothing painted
+            return cache.prev_frame, self.last_diag
+
         px, py, line_slot, uniq = self._prepare_geometry(composition)
         self._estimate_caps(composition, width, height)
         skey = (
@@ -424,6 +438,7 @@ class Renderer:
         cache.width, cache.height = width, height
         cache.channels = chans
         cache.clear_color = clear_color
+        cache._vkey = vkey
         # Mark every enabled rendered layer unchanged for this cache slot.
         if has_layers:
             reg.unchanged[st_host.lslot] = np.where(
