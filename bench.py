@@ -15,8 +15,16 @@ last frame's checksum, and every frame's diagnostics are fetched afterwards
 to assert no capacity bucket overflowed mid-run (a silent overflow would
 drop segments and fake speed).
 
+Bit-exactness guard: unless --no-verify, the run first renders every
+reference golden scene on the SAME device and compares against the goldens
+(tolerance 8/255, `e2e-tests/tests/test_env.rs:278`); the JSON line carries
+"goldens_ok".  A perf change that corrupts output flips goldens_ok to false
+instead of showing up as a speedup (two round-2 optimizations failed exactly
+this way; see docs/ARCHITECTURE.md).
+
 Flags: --paths N, --frames N, --width/--height, --scene {paris,circles},
---animate (per-frame full-scene transform changes: re-sort + repaint stress).
+--animate (per-frame full-scene transform changes: re-sort + repaint stress),
+--shard N (shard the framebuffer over an N-device mesh), --no-verify.
 """
 
 from __future__ import annotations
@@ -24,8 +32,49 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
 import sys
 import time
+
+
+def verify_goldens() -> tuple:
+    """Renders the reference golden scenes on the default device; returns
+    (num_passed, num_total).  Uses the same scene registry as the test
+    suite (tests/e2e_scenes.py)."""
+    import numpy as np
+
+    from forma_tpu import Color, Composition
+    from forma_tpu.renderer import Renderer
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    import e2e_scenes as S
+
+    goldens = os.environ.get(
+        "FORMA_REFERENCE_EXPECTED", "/root/reference/e2e-tests/expected"
+    )
+    clear = Color(1.0, 1.0, 1.0, 0.0)
+    renderer = Renderer()
+    n_pass = n_total = 0
+    try:
+        from PIL import Image as PILImage
+    except ImportError:
+        return 0, 0
+    for name, scene in S.all_scenes():
+        path = os.path.join(goldens, f"{name}.png")
+        if not os.path.exists(path):
+            continue
+        expected = np.asarray(PILImage.open(path).convert("RGBA"))
+        comp = Composition()
+        scene(comp)
+        actual = renderer.render(comp, 64, 64, clear_color=clear)
+        diff = np.abs(actual.astype(int) - expected.astype(int))
+        bad = int((diff.max(axis=-1) > 8).sum())
+        n_total += 1
+        if bad == 0:
+            n_pass += 1
+        else:
+            print(f"# GOLDEN FAIL {name}: {bad} bad pixels", file=sys.stderr)
+    return n_pass, n_total
 
 
 def main():
@@ -41,6 +90,15 @@ def main():
         "--trace", default=None, metavar="DIR",
         help="capture a jax.profiler trace of the timed frames into DIR",
     )
+    ap.add_argument(
+        "--no-verify", action="store_true",
+        help="skip the golden bit-exactness check before timing",
+    )
+    ap.add_argument(
+        "--shard", type=int, default=0, metavar="N",
+        help="shard the framebuffer by tile rows over an N-device mesh "
+        "(requires >= N JAX devices; see conftest for the virtual CPU mesh)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -53,6 +111,17 @@ def main():
     from forma_tpu.demos import scenes
     from forma_tpu.ops import pipeline as pipe
     from forma_tpu.renderer import Renderer
+
+    goldens_ok = None
+    if not args.no_verify:
+        t0 = time.time()
+        n_pass, n_total = verify_goldens()
+        goldens_ok = bool(n_total > 0 and n_pass == n_total)
+        print(
+            f"# goldens: {n_pass}/{n_total} bit-exact (tol 8/255) in "
+            f"{time.time()-t0:.1f}s",
+            file=sys.stderr,
+        )
 
     t0 = time.time()
     comp = Composition()
@@ -91,6 +160,10 @@ def main():
         frame, diag = renderer.render_device(comp, args.width, args.height, clear)
         comp.set_transforms(orders, frame_transform(0))
         frame, diag = renderer.render_device(comp, args.width, args.height, clear)
+    if args.shard:
+        frame, diag = renderer.render_device_sharded(
+            comp, args.width, args.height, clear, n_shards=args.shard
+        )
     jax.device_get(diag)
     warm_s = time.time() - t0
     if args.verbose:
@@ -118,9 +191,15 @@ def main():
             for i in range(n):
                 if args.animate:
                     comp.set_transforms(orders, frame_transform(i))
-                frame, diag = renderer.render_device(
-                    comp, args.width, args.height, clear, check_caps=False
-                )
+                if args.shard:
+                    frame, diag = renderer.render_device_sharded(
+                        comp, args.width, args.height, clear,
+                        n_shards=args.shard, check_caps=False,
+                    )
+                else:
+                    frame, diag = renderer.render_device(
+                        comp, args.width, args.height, clear, check_caps=False
+                    )
                 diags.append(diag)
             # Fence on actual pixels of the last frame.
             jax.device_get(frame[0, 0])
@@ -152,16 +231,17 @@ def main():
 
     name = "paris30k" if args.scene == "paris" else f"circles{args.paths}"
     suffix = "_animated" if args.animate else ""
-    print(
-        json.dumps(
-            {
-                "metric": f"{name}_{args.width}x{args.height}{suffix}_fps",
-                "value": round(fps, 3),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / 60.0, 4),
-            }
-        )
-    )
+    if args.shard:
+        suffix += f"_shard{args.shard}"
+    out = {
+        "metric": f"{name}_{args.width}x{args.height}{suffix}_fps",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 60.0, 4),
+    }
+    if goldens_ok is not None:
+        out["goldens_ok"] = goldens_ok
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

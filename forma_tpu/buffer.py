@@ -142,13 +142,26 @@ class BufferLayerCache:
 
     def __init__(self, cache_id: int, owner=None):
         self.id = cache_id
-        self._owner = owner
         self.clear_color = None
         self.width: Optional[int] = None
         self.height: Optional[int] = None
         self.channels = None
         self.prev_frame = None  # device u8 [rows*16, tiles_x*16, C]
         self.prev_counts = None  # device i32 [rows * tiles_x]
+        # Slot release must not depend on prompt __del__ (reference cycles,
+        # interpreter teardown) and must not keep the Renderer alive — the
+        # reference uses Weak<SmallBitSet> + Drop (`buffer/mod.rs:99-111`).
+        if owner is not None:
+            import weakref
+
+            owner_ref = weakref.ref(owner)
+
+            def _release(cache_id=cache_id, owner_ref=owner_ref):
+                o = owner_ref()
+                if o is not None:
+                    o._release_cache_slot(cache_id)
+
+            self._finalizer = weakref.finalize(self, _release)
 
     def clear(self):
         self.clear_color = None
@@ -158,10 +171,6 @@ class BufferLayerCache:
         self.prev_frame = None
         self.prev_counts = None
 
-    def __del__(self):
-        owner = getattr(self, "_owner", None)
-        if owner is not None:
-            owner._release_cache_slot(self.id)
 
 
 @dataclass

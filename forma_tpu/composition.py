@@ -474,9 +474,18 @@ class Composition:
             raise KeyError("set_transforms: some orders have no layer")
         slots = sorted_slots[pos]
         reg = self._shared.registry
-        reg.tform[slots] = t
-        reg.has_t[slots] = (t != _IDENTITY6).any(axis=1)
-        reg.unchanged[slots] = 0
+        # Only rows whose transform actually changes dirty the damage caches
+        # and bump the version — a caller re-sending identical transforms each
+        # frame must not defeat the no-dispatch fast path (`Layer.set_transform`
+        # no-ops on equality; this is its vectorized twin).
+        has_t = (t != _IDENTITY6).any(axis=1)
+        changed = (reg.tform[slots] != t).any(axis=1) | (reg.has_t[slots] != has_t)
+        if not changed.any():
+            return
+        cslots = slots[changed]
+        reg.tform[cslots] = t[changed]
+        reg.has_t[cslots] = has_t[changed]
+        reg.unchanged[cslots] = 0
         self._shared.tform_version += 1
 
     def is_empty(self) -> bool:

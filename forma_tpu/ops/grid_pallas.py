@@ -1,0 +1,199 @@
+"""Pallas TPU kernel: per-run area|cover grid build from the sorted
+pixel-segment stream.
+
+The XLA scatter that used to build the [run_cap, 256] packed grids costs
+~12 ns per index on TPU regardless of index order or scatter flags
+(tools/scatter_variants_probe.py) — 85 ms at paris scale, the single
+largest item in the frame.  This kernel replaces it with the TPU-native
+structure: because segments arrive SORTED by run id (consecutive integers
+with no gaps), each block of B segments touches a bounded, consecutive row
+window of the grid, and the per-block accumulation becomes two small MXU
+matmuls
+
+    out[t, c] = sum_j [rid_j == row_t] * [cell_j == c] * val_j
+              = (Sel * val) @ OneHot(cell)
+
+— the same job `paint.wgsl` does with workgroup-shared atomics
+(`gpu/painter/paint.wgsl:320-362`), recast as systolic-array work.
+
+Output rows are produced in 32-row chunks aligned to the global grid, with
+the current partial chunk accumulated in VMEM scratch across grid steps
+(TPU Pallas grids run sequentially) and flushed by double-buffered DMA.
+Chunk-aligned flushes are disjoint by construction, so DMA completion order
+never matters.
+
+Exactness: per-(run, cell) sums satisfy the reference's i16 accumulator
+bounds (`painter/mod.rs:232-245`), so the f32 matmul accumulations are
+exact integers (< 2^24) and the packed i32 results are bit-identical to the
+XLA scatter's.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+B = 1024  # segments per grid step
+CROWS = 32  # grid rows per output chunk / DMA flush
+NCELL = 256  # cells per run (16x16 tile)
+
+
+def _kernel(seg_ref, grid_ref, cbuf, sendbuf, state, sems):
+    """One grid step: accumulate block `b`'s segments into chunk-aligned
+    grid rows.
+
+    seg_ref [1, 4, B] i32 — (rid, cell, area, cover) rows of this block.
+
+    Scratch:
+      cbuf   [CROWS, NCELL] i32 — the current partial chunk (persistent)
+      sendbuf [2, CROWS, NCELL] i32 — DMA staging (double buffer)
+      state  [2] i32 SMEM — (current chunk id, flush count)
+      sems   DMA((2,)) — per-slot flush semaphores
+    """
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    @pl.when(b == 0)
+    def _init():
+        cbuf[:, :] = jnp.zeros((CROWS, NCELL), jnp.int32)
+        state[0] = 0
+        state[1] = 0
+
+    rid = seg_ref[0, 0, :]
+    q_lo = seg_ref[0, 0, 0] // CROWS
+    q_hi = seg_ref[0, 0, B - 1] // CROWS
+
+    # One single-pass bf16 matmul covers all three accumulations: the
+    # selector matrix stacks three 32-row bands (area>>8, area&255, cover),
+    # every band's values exactly representable in bf16, with exact f32
+    # accumulation (integer sums < 2^24).
+    onehot = (
+        seg_ref[0, 1, :][:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (B, NCELL), 1)
+    ).astype(jnp.bfloat16)
+    area = seg_ref[0, 2, :]
+    cover = seg_ref[0, 3, :]
+    a_hi = (area >> 8).astype(jnp.float32)
+    a_lo = (area & 255).astype(jnp.float32)
+    cov_f = cover.astype(jnp.float32)
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (CROWS, B), 0)
+
+    def flush(q_new):
+        """DMA the finished chunk out and start a fresh one."""
+        fc = state[1]
+        slot = jnp.bitwise_and(fc, 1)
+
+        # The copy issued two flushes ago used this slot; drain it first.
+        @pl.when(fc >= 2)
+        def _wait_prev():
+            pltpu.make_async_copy(
+                sendbuf.at[slot], grid_ref.at[pl.ds(0, CROWS), :],
+                sems.at[slot],
+            ).wait()
+
+        sendbuf[slot] = cbuf[:, :]
+        cq = state[0]
+        pltpu.make_async_copy(
+            sendbuf.at[slot],
+            grid_ref.at[pl.ds(cq * CROWS, CROWS), :],
+            sems.at[slot],
+        ).start()
+        state[1] = fc + 1
+        state[0] = q_new
+
+    def chunk_body(q, _):
+        sel = (rid[None, :] == (q * CROWS + rows_iota)).astype(jnp.float32)
+        m = jnp.concatenate(
+            [sel * a_hi[None, :], sel * a_lo[None, :], sel * cov_f[None, :]],
+            axis=0,
+        ).astype(jnp.bfloat16)
+        out = jnp.dot(m, onehot, preferred_element_type=jnp.float32)
+        asum = out[0:CROWS] * 256.0 + out[CROWS : 2 * CROWS]
+        packed = asum.astype(jnp.int32) * 65536 + out[
+            2 * CROWS : 3 * CROWS
+        ].astype(jnp.int32)
+        cq = state[0]  # read BEFORE flush mutates it
+
+        @pl.when(q != cq)
+        def _advance():
+            flush(q)
+            cbuf[:, :] = packed
+
+        @pl.when(q == cq)
+        def _accum():
+            cbuf[:, :] = cbuf[:, :] + packed
+
+        return 0
+
+    jax.lax.fori_loop(q_lo, q_hi + 1, chunk_body, 0)
+
+    @pl.when(b == nb - 1)
+    def _final():
+        flush(state[0] + 1)
+        fc = state[1]
+
+        @pl.when(fc >= 1)
+        def _w1():
+            slot = jnp.bitwise_and(fc - 1, 1)
+            pltpu.make_async_copy(
+                sendbuf.at[slot], grid_ref.at[pl.ds(0, CROWS), :],
+                sems.at[slot],
+            ).wait()
+
+        @pl.when(fc >= 2)
+        def _w2():
+            slot = jnp.bitwise_and(fc - 2, 1)
+            pltpu.make_async_copy(
+                sendbuf.at[slot], grid_ref.at[pl.ds(0, CROWS), :],
+                sems.at[slot],
+            ).wait()
+
+
+@partial(jax.jit, static_argnames=("run_cap", "interpret"))
+def grid_build_pallas(rid, cell, area, cover, run_cap: int, interpret: bool = False):
+    """Builds the packed [run_cap_pad, NCELL] i32 grid from run-sorted
+    segments.
+
+    rid   i32 [N] nondecreasing, gapless run ids (clamped < run_cap)
+    cell  i32 [N] in [0, 256)
+    area  i32 [N], cover i32 [N] (padding entries contribute 0)
+
+    N must be a multiple of 512.  Returns grid with run_cap padded up to a
+    multiple of 32; rows beyond the last run id are UNINITIALIZED — callers
+    must mask by run validity (they already do).
+    """
+    n = rid.shape[0]
+    assert n % B == 0, n
+    nb = n // B
+    gp = -(-run_cap // CROWS) * CROWS
+
+    seg = jnp.stack(
+        [
+            rid.reshape(nb, B),
+            cell.reshape(nb, B),
+            area.reshape(nb, B),
+            cover.reshape(nb, B),
+        ],
+        axis=1,
+    )  # [nb, 4, B]
+
+    grid = pl.pallas_call(
+        _kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, 4, B), lambda b: (b, 0, 0))],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((gp, NCELL), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((CROWS, NCELL), jnp.int32),
+            pltpu.VMEM((2, CROWS, NCELL), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(seg)
+    return grid

@@ -64,6 +64,7 @@ def _core(
     cull: bool = True,
     cache=None,  # (prev_frame u8, prev_counts i32 [T], st_unchanged bool [SL], cache_ok bool)
     crop_x=None,  # traced (tile_x_lo, tile_x_hi): tiles outside skip painting
+    crop_y=None,  # traced (tile_row_lo, tile_row_hi): rows outside skip painting
 ):
     params, slots, lengths, vline_ends = _ls.line_setup(
         px, py, line_slot, g_slot, g_valid, g_t, g_has_t, width, height,
@@ -161,15 +162,21 @@ def _core(
         k_needed = k_pre
 
     tile_skip = tile_unch
-    if crop_x is not None:
+    out_of_crop = None
+    if crop_x is not None or crop_y is not None:
         # Tiles outside the crop never paint (`cpu/renderer.rs:38-53` +
         # `painter/mod.rs:504-516`); covers still carry correctly because
         # carries come from the run chains, not painted tiles.
         tx_t = jnp.arange(n_tiles, dtype=jnp.int32) % tiles_x
-        out_of_crop = (tx_t < crop_x[0]) | (tx_t >= crop_x[1])
+        row_t = jnp.arange(n_tiles, dtype=jnp.int32) // tiles_x
+        out_of_crop = jnp.zeros((n_tiles,), bool)
+        if crop_x is not None:
+            out_of_crop |= (tx_t < crop_x[0]) | (tx_t >= crop_x[1])
+        if crop_y is not None:
+            out_of_crop |= (row_t < crop_y[0]) | (row_t >= crop_y[1])
         tile_skip = out_of_crop if tile_skip is None else (tile_skip | out_of_crop)
 
-    if cache is not None or crop_x is not None:
+    if cache is not None or crop_x is not None or crop_y is not None:
         # Depth needed over painted tiles only.
         tile_of2 = _unit_tiles(key_u, u_valid, tiles_x, n_tiles)
         kmax_t = (
@@ -192,9 +199,14 @@ def _core(
     packed = _srgb.pack_srgb(frame, channels)
 
     if cache is not None:
+        # Unchanged AND out-of-crop tiles re-emit the previous frame's
+        # pixels, so the returned frame is directly the next cache state
+        # (out-of-crop staleness is tracked by the caller leaving the
+        # layers' is_unchanged bits clear on cropped renders).
+        reemit = tile_unch if out_of_crop is None else (tile_unch | out_of_crop)
         pix_unch = jnp.repeat(
             jnp.repeat(
-                tile_unch.reshape(rows, tiles_x), consts.TILE_HEIGHT, axis=0
+                reemit.reshape(rows, tiles_x), consts.TILE_HEIGHT, axis=0
             ),
             consts.TILE_WIDTH,
             axis=1,
@@ -255,14 +267,19 @@ def render_frame_cached(
     width: int, height: int, rows: int, tiles_x: int,
     caps: Caps, features: Features, channels,
     cull: bool = True,
+    crop_x=None,  # traced (tile_x_lo, tile_x_hi): paint crop, default full
+    crop_y=None,  # traced (tile_row_lo, tile_row_hi): paint crop, default full
 ):
     """Damage-aware render: unchanged tiles re-emit `prev_frame` pixels and
-    contribute nothing to the fold depth.  Returns (u8 frame, diag, per-tile
-    unit counts to store for the next frame)."""
+    contribute nothing to the fold depth.  With a crop, out-of-crop tiles
+    also re-emit `prev_frame` (the cache survives cropped renders, matching
+    `cpu/renderer.rs:38-53`).  Returns (u8 frame, diag, per-tile unit counts
+    to store for the next frame)."""
     return _core(
         px, py, line_slot, g_slot, g_valid, g_t, g_has_t, st, clear,
         jnp.int32(0), width, height, rows, tiles_x, caps, features, channels,
         cull, cache=(prev_frame, prev_counts, st_unchanged, cache_ok),
+        crop_x=crop_x, crop_y=crop_y,
     )
 
 

@@ -304,26 +304,37 @@ class Renderer:
         w, h = layout.width(), layout.height()
         cache = buffer.layer_cache
         if crop is not None:
-            # Work-culling crop: only tile rows inside the crop rasterize
-            # into runs, and only tiles inside the x-range paint
-            # (`cpu/renderer.rs:38-53`).  Crop bypasses the damage cache
-            # (partial paints must not be recorded as full frames).
-            if cache is not None:
-                cache.clear()
+            # Work-culling crop: only tiles inside the rect paint
+            # (`cpu/renderer.rs:38-53`).  The damage cache SURVIVES cropped
+            # renders: per-tile state keeps updating for in-crop tiles and
+            # out-of-crop tiles retain their entries (the reference keeps
+            # the layer cache alive across crops too; unlike it, cropped
+            # renders here leave the layers' is_unchanged bits untouched so
+            # out-of-crop tiles of a changed layer can never go stale).
             rows_total = -(-h // _c.TILE_HEIGHT)
             y0t = max(crop.vert.start, 0)
             y1t = min(crop.vert.stop, rows_total)
             if y0t >= y1t:
+                return
+            x0 = max(crop.hor.start, 0) * _c.TILE_WIDTH
+            x1 = min(crop.hor.stop * _c.TILE_WIDTH, w)
+            y0 = y0t * _c.TILE_HEIGHT
+            y1 = min(y1t * _c.TILE_HEIGHT, h)
+            if cache is not None:
+                frame, _ = self._render_device_cached(
+                    composition, cache, w, h, clear_color, channels,
+                    crop=(y0t, y1t, crop.hor.start, crop.hor.stop),
+                )
+                img = np.asarray(frame)
+                layout.write(
+                    buffer.buffer, img[y0:y1, x0:x1], rect=(y0, y1, x0, x1)
+                )
                 return
             frame, _ = self.render_device(
                 composition, w, h, clear_color, channels,
                 row_span=(y0t, y1t), crop_x=(crop.hor.start, crop.hor.stop),
             )
             img = np.asarray(frame)
-            x0 = max(crop.hor.start, 0) * _c.TILE_WIDTH
-            x1 = min(crop.hor.stop * _c.TILE_WIDTH, w)
-            y0 = y0t * _c.TILE_HEIGHT
-            y1 = min(y1t * _c.TILE_HEIGHT, h)
             layout.write(buffer.buffer, img[: y1 - y0, x0:x1], rect=(y0, y1, x0, x1))
             return
         if cache is None:
@@ -335,10 +346,16 @@ class Renderer:
         layout.write(buffer.buffer, np.asarray(frame)[:h, :w])
 
     def _render_device_cached(
-        self, composition, cache, width, height, clear_color, channels
+        self, composition, cache, width, height, clear_color, channels,
+        crop=None,  # (tile_row_lo, tile_row_hi, tile_x_lo, tile_x_hi)
     ):
         """Damage-aware render; updates `cache` device state and the layers'
-        is_unchanged bits (`cpu/renderer.rs:217-223`)."""
+        is_unchanged bits (`cpu/renderer.rs:217-223`).
+
+        With `crop`, out-of-crop tiles skip painting and re-emit their cached
+        pixels; the is_unchanged bits are NOT updated (a cropped render must
+        not certify out-of-crop tiles as current), and the whole-frame
+        no-dispatch key resets so the next full render re-validates."""
         import jax.numpy as jnp
 
         composition.compact_geom()
@@ -406,6 +423,10 @@ class Renderer:
             )
             prev_counts = jnp.full((n_tiles,), -1, jnp.int32)
 
+        crop_x_t = crop_y_t = None
+        if crop is not None:
+            crop_y_t = (jnp.int32(crop[0]), jnp.int32(crop[1]))
+            crop_x_t = (jnp.int32(crop[2]), jnp.int32(crop[3]))
         for _ in range(8):
             frame, diag, counts = _pipe.render_frame_cached(
                 px, py, line_slot, g_slot, g_valid, g_t, g_has_t, st, clear,
@@ -413,6 +434,7 @@ class Renderer:
                 jnp.asarray(cache_ok),
                 width, height, rows, tiles_x,
                 self._caps, st_host.features, chans,
+                crop_x=crop_x_t, crop_y=crop_y_t,
             )
             d = np.asarray(diag)
             caps = self._caps
@@ -438,15 +460,102 @@ class Renderer:
         cache.width, cache.height = width, height
         cache.channels = chans
         cache.clear_color = clear_color
-        cache._vkey = vkey
-        # Mark every enabled rendered layer unchanged for this cache slot.
-        if has_layers:
-            reg.unchanged[st_host.lslot] = np.where(
-                reg.valid[st_host.lslot],
-                reg.unchanged[st_host.lslot] | bit,
-                reg.unchanged[st_host.lslot] & ~bit,
-            )
+        if crop is None:
+            cache._vkey = vkey
+            # Mark every enabled rendered layer unchanged for this cache slot.
+            if has_layers:
+                reg.unchanged[st_host.lslot] = np.where(
+                    reg.valid[st_host.lslot],
+                    reg.unchanged[st_host.lslot] | bit,
+                    reg.unchanged[st_host.lslot] & ~bit,
+                )
+        else:
+            cache._vkey = None
         return frame, d
+
+    def render_device_sharded(
+        self,
+        composition: Composition,
+        width: int,
+        height: int,
+        clear_color: Color = Color(0.0, 0.0, 0.0, 1.0),
+        channels=RGBA,
+        n_shards: int = 0,
+        check_caps: bool = True,
+    ):
+        """Renders with the framebuffer sharded by tile rows over an
+        `n_shards`-device 1D mesh (`ops/pipeline.render_frame_sharded`).
+
+        Geometry/styles replicate over ICI; each chip rasterizes, sorts and
+        paints only its row slice; the returned frame is natively sharded
+        along rows (its first `height` rows are the image — the row count
+        pads up to a multiple of n_shards).  Diagnostics come back as the
+        elementwise max over shards, so the same capacity-growth loop
+        applies per shard."""
+        import jax
+        import jax.numpy as jnp
+
+        devs = jax.devices()
+        n = n_shards or len(devs)
+        if len(devs) < n:
+            raise ValueError(f"need {n} devices, have {len(devs)}")
+        mesh = getattr(self, "_mesh_cache", None)
+        if mesh is None or mesh.devices.size != n:
+            mesh = jax.make_mesh((n,), ("rows",), devices=devs[:n])
+            self._mesh_cache = mesh
+
+        composition.compact_geom()
+        composition._shared.props_interner.compact()
+
+        rows_total = -(-height // consts.TILE_HEIGHT)
+        rows_per_shard = -(-rows_total // n)
+        tiles_x = -(-width // consts.TILE_WIDTH)
+
+        px, py, line_slot, uniq = self._prepare_geometry(composition)
+        self._estimate_caps(composition, width, height)
+        skey = (
+            composition.shared_segment_buffer().serial,
+            composition._shared.scene_version,
+            composition._shared.style_version,
+        )
+        if self._styles_cache_key == skey:
+            st_host, st = self._styles_cache
+        else:
+            st_host = self._style_map.build(composition.layers)
+            st = _pipe.style_tables_device(st_host)
+            self._styles_cache_key = skey
+            self._styles_cache = (st_host, st)
+        g_slot, g_valid, g_t, g_has_t = self._geom_tables(
+            composition, uniq, st_host.orders
+        )
+        clear = jnp.asarray(clear_color.to_array(), jnp.float32)
+        chans = tuple(ch.value for ch in channels)
+
+        for _ in range(8):
+            frame, diag = _pipe.render_frame_sharded(
+                px, py, line_slot, g_slot, g_valid, g_t, g_has_t, st, clear,
+                width, height, rows_per_shard, tiles_x,
+                self._caps, st_host.features, chans, mesh,
+            )
+            if not check_caps:
+                return frame, diag
+            d = np.asarray(diag)
+            caps = self._caps
+            if (
+                d[_pipe.DIAG_VLINES] <= caps.vline
+                and d[_pipe.DIAG_RUNS] <= caps.run
+                and d[_pipe.DIAG_VIRT] <= caps.virt
+                and d[_pipe.DIAG_K] <= caps.k
+            ):
+                self.last_diag = d
+                return frame, d
+            self._caps = _pipe.Caps(
+                vline=max(caps.vline, _bucket_fine(int(d[_pipe.DIAG_VLINES]) + 1)),
+                run=max(caps.run, _bucket_fine(int(d[_pipe.DIAG_RUNS]))),
+                virt=max(caps.virt, _bucket_fine(int(d[_pipe.DIAG_VIRT]) + 1)),
+                k=max(caps.k, _bucket(max(int(d[_pipe.DIAG_K]), 1), lo=4)),
+            )
+        raise RuntimeError(f"capacity growth did not converge: {d}")
 
     def render_device(
         self,
