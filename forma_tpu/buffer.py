@@ -44,6 +44,18 @@ RGB1 = (Channel.Red, Channel.Green, Channel.Blue, Channel.One)
 BGR1 = (Channel.Blue, Channel.Green, Channel.Red, Channel.One)
 
 
+def normalize_channels(channels, clear_color):
+    """Alpha -> One upgrade when the clear color is opaque: src-over keeps
+    alpha at exactly 1 forever, so the packed alpha byte is a constant and
+    the compiled pipeline never materialises the alpha plane
+    (`forma/src/cpu/renderer.rs:85-92`)."""
+    if clear_color.a == 1.0:
+        return tuple(
+            Channel.One if ch is Channel.Alpha else ch for ch in channels
+        )
+    return tuple(channels)
+
+
 @dataclass
 class Rect:
     """Crop rectangle, approximated to the tile grid

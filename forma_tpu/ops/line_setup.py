@@ -25,7 +25,12 @@ from . import ff64
 # params_f32 column layout:
 PX0, PY0, PDX, PDY, PA, PB, PC, PD = range(8)
 PAOH, PAOL, PBOH, PBOL, PCDH, PCDL = range(8, 14)
-N_PARAMS = 14
+# Slot and length ride in the SAME f32 matrix as exact VALUE conversions
+# (slot < 2^21, length < 2^24 — both exact in f32), so the rasterizer's
+# virtual-line expansion does ONE row gather, not two.  (This is value
+# conversion, NOT the round-2 bitcast that hit TPU denormal flushing.)
+PSLOT, PLEN = 14, 15
+N_PARAMS = 16
 
 
 @partial(jax.jit, static_argnames=("width", "height", "k_seg"))
@@ -135,6 +140,8 @@ def line_setup(
             sel(b_over.lo),
             sel(cd_over.hi),
             sel(cd_over.lo),
+            slots.astype(jnp.float32),
+            lengths.astype(jnp.float32),
         ],
         axis=1,
     )

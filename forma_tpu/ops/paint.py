@@ -42,6 +42,9 @@ _PDA = consts.PIXEL_DOUBLE_AREA  # 512
 FLAG_VIRTUAL = 1
 FLAG_FULL_OPAQUE = 2
 FLAG_CLIP = 4
+FLAG_FULL_SOLID = 8  # full cover + solid fill: scalar-foldable
+FLAG_FULL_CLIP = 16  # full-cover clip: all-pass, droppable
+FLAG_UNCLIPPED = 32  # draw whose governing clip was a dropped full clip
 
 
 class Features(NamedTuple):
@@ -264,12 +267,12 @@ def _seg_ffill(gid, values, valid):
     return jnp.where(got, out, -1)
 
 
-def _renumber_units(key_u, layer_u, src_u, virt_u, keep):
+def _renumber_units(key_u, layer_u, src_u, src2_u, virt_u, keep):
     """Drops units where ~keep, re-sorts, recomputes per-tile slot indices."""
     n = key_u.shape[0]
     key2 = jnp.where(keep, key_u, SENTINEL)
-    key2, layer_u, src_u, virt_u = jax.lax.sort(
-        (key2, layer_u, src_u, virt_u), num_keys=2
+    key2, layer_u, src_u, src2_u, virt_u = jax.lax.sort(
+        (key2, layer_u, src_u, src2_u, virt_u), num_keys=2
     )
     new_tile = key2 != jnp.roll(key2, 1)
     new_tile = new_tile.at[0].set(True)
@@ -277,22 +280,25 @@ def _renumber_units(key_u, layer_u, src_u, virt_u, keep):
     k2 = jnp.arange(n, dtype=jnp.int32) - first
     u_valid = key2 != SENTINEL
     k_needed = jnp.max(jnp.where(u_valid, k2, -1)) + 1
-    return key2, layer_u, src_u, virt_u, k2, u_valid, k_needed
+    return key2, layer_u, src_u, src2_u, virt_u, k2, u_valid, k_needed
 
 
 @jax.jit
-def skip_trivial_clips(key_u, layer_u, src_u, virt_u, k_u, u_valid, id_u, cend_u, clipped_u):
-    """The droppable subset of `skip_trivial_clips_pass`
-    (`passes/skip_trivial_clips.rs:27-112`): clipped draw layers outside any
-    active clip range are invisible and drop; clip units no clipped layer
-    references drop.  (Full-cover clips stay — the fold's coverage-1 clip
-    mask is numerically identical to unclipped drawing.)
+def skip_trivial_clips(key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid, id_u, cend_u, clipped_u):
+    """`skip_trivial_clips_pass` (`passes/skip_trivial_clips.rs:27-112`):
+    clipped draw layers outside any active clip range are invisible and
+    drop; clip units no clipped layer references drop; FULL-cover clips
+    admit everything, so they drop too and the draws they govern get
+    FLAG_UNCLIPPED (paint then skips the clip-mask multiply — numerically
+    identical since a full clip's mask is exactly 1.0, but one fewer fold
+    slot per tile).
 
     id_u/cend_u: layer id and clip range end per unit; clipped_u: the unit is
     a clipped Draw.
     """
     n = key_u.shape[0]
     is_clip = ((virt_u & FLAG_CLIP) != 0) & u_valid
+    full_clip = is_clip & ((virt_u & FLAG_FULL_CLIP) != 0)
 
     new_tile = key_u != jnp.roll(key_u, 1)
     new_tile = new_tile.at[0].set(True)
@@ -301,19 +307,22 @@ def skip_trivial_clips(key_u, layer_u, src_u, virt_u, k_u, u_valid, id_u, cend_u
     iota = jnp.arange(n, dtype=jnp.int32)
     last_clip_end = _seg_ffill(gid, cend_u, is_clip)
     last_clip_pos = _seg_ffill(gid, iota, is_clip)
+    last_clip_full = _seg_ffill(gid, full_clip.astype(jnp.int32), is_clip)
 
     orphan = clipped_u & u_valid & ((last_clip_pos < 0) | (id_u > last_clip_end))
     governed = clipped_u & u_valid & ~orphan
+    gov_by_full = governed & (last_clip_full == 1)
+    virt_u = virt_u | jnp.where(gov_by_full, FLAG_UNCLIPPED, 0)
 
     used = (
         jnp.zeros((n,), jnp.int32)
-        .at[jnp.where(governed, last_clip_pos, n)]
+        .at[jnp.where(governed & ~gov_by_full, last_clip_pos, n)]
         .max(1, mode="drop")
     )
     unused_clip = is_clip & (used == 0)
 
-    keep = u_valid & ~(orphan | unused_clip)
-    return _renumber_units(key_u, layer_u, src_u, virt_u, keep)
+    keep = u_valid & ~(orphan | unused_clip | full_clip)
+    return _renumber_units(key_u, layer_u, src_u, src2_u, virt_u, keep)
 
 
 def _seg_cummax(gid, values):
@@ -331,7 +340,7 @@ def _seg_cummax(gid, values):
 
 
 @jax.jit
-def cull_units(key_u, layer_u, src_u, virt_u, k_u, u_valid):
+def cull_units(key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid):
     """Drops every unit hidden beneath a full-cover opaque unit of its tile
     (`skip_fully_covered_layers.rs:27-119`) and re-sorts survivors.
 
@@ -364,7 +373,7 @@ def cull_units(key_u, layer_u, src_u, virt_u, k_u, u_valid):
     tile_has_clip = (clip_fwd | clip_rev) > 0
 
     keep = u_valid & ((k_u + 1 >= k_top1) | tile_has_clip)
-    return _renumber_units(key_u, layer_u, src_u, virt_u, keep)
+    return _renumber_units(key_u, layer_u, src_u, src2_u, virt_u, keep)
 
 
 # -- the fold -----------------------------------------------------------------
@@ -378,13 +387,14 @@ def paint(
     # paint units (sorted by (tile, layer), culled):
     key_u,
     layer_u,
-    src_u,
+    src_u,  # original-order run index (addresses `grid`)
+    src2_u,  # sorted-domain run index (addresses the carry arrays)
     virt_u,  # FLAG_* bits
     k_u,
     u_valid,
     # per-run data:
     grid,  # [run_cap, 256] packed area|cover i32
-    carry_in,  # [run_cap, 16] i32 (original run order)
+    carry_in_s,  # [run_cap, 16] i32 ((row,layer,tx)-sorted order)
     carry_after_s,  # [run_cap, 16] i32 ((row,layer,tx)-sorted order)
     # style tables:
     st_orders,  # u32 [SL] sorted layer ids
@@ -439,21 +449,43 @@ def paint(
     )
 
     # Depth per tile (0 for skipped tiles) and the descending permutation.
-    kmax_t = (
+    kmax_raw = (
         jnp.zeros((n_tiles,), jnp.int32).at[tile_t].max(k_u + 1, mode="drop")
     )
+
+    # TileWriteOp::Solid (`skip_fully_covered_layers.rs:27-119` +
+    # `painter/mod.rs:553-566`): a tile whose every unit is a full-cover
+    # solid-fill draw folds to ONE color with per-TILE scalar blending —
+    # those tiles leave the per-pixel wave entirely.  cov == 1.0 exactly for
+    # full covers, so the scalar fold is bit-identical to the pixel fold.
+    unit_solid = jnp.where(
+        u_valid & (k_u < k_slots),
+        ((virt_u & FLAG_FULL_SOLID) != 0).astype(jnp.int32),
+        1,
+    )
+    all_solid = (
+        jnp.ones((n_tiles,), jnp.int32)
+        .at[tile_t]
+        .min(unit_solid, mode="drop")
+    )
+    tile_solid = (all_solid == 1) & (kmax_raw > 0)
     if tile_unchanged is not None:
-        kmax_t = jnp.where(tile_unchanged, 0, kmax_t)
+        tile_solid &= ~tile_unchanged
+        kmax_t = jnp.where(tile_unchanged | tile_solid, 0, kmax_raw)
+    else:
+        kmax_t = jnp.where(tile_solid, 0, kmax_raw)
+
     neg_depth, perm = jax.lax.sort(
         (-kmax_t, jnp.arange(n_tiles, dtype=jnp.int32)), num_keys=1
     )
     depth_sorted = -neg_depth
 
     table_kt = table[perm].T  # [K, T] in permuted tile order
+    skip_solid_p = tile_solid[perm]
     if tile_unchanged is not None:
-        skip_p = tile_unchanged[perm]
+        skip_p = tile_unchanged[perm] | skip_solid_p
     else:
-        skip_p = None
+        skip_p = skip_solid_p
 
     # Global pixel coordinates per (permuted) tile.
     tx_t = perm % tiles_x
@@ -465,6 +497,56 @@ def paint(
         (row_t[:, None, None] + jnp.int32(row_lo)) * TH
         + jnp.arange(TH, dtype=jnp.int32)[None, :, None]
     ).astype(jnp.float32) * jnp.ones((1, 1, TW), jnp.float32)
+
+    # Consolidated per-unit metadata: ONE [u_cap] row gather up front
+    # replaces ~12 small per-step gathers inside the fold (measured: the
+    # fold was gather-op-count bound, not flop bound).  Every column is an
+    # exact f32 value conversion (all ints < 2^24).
+    SL = st_orders.shape[0]
+    assert run_cap < (1 << 24)
+    style_mat = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    st_fill_rule[st_pidx],
+                    st_func[st_pidx],
+                    st_blend[st_pidx],
+                    st_fill_type[st_pidx],
+                    st_clip_n[st_pidx],
+                    st_is_clipped[st_pidx].astype(jnp.int32),
+                    (st_orders & jnp.uint32(consts.LAYER_LIMIT)).astype(
+                        jnp.int32
+                    ),
+                    st_pidx,
+                ],
+                axis=1,
+            ).astype(jnp.float32),
+            st_color[st_pidx],  # [SL, 4]
+        ],
+        axis=1,
+    )  # [SL, 12] f32
+    slot_all = jnp.minimum(layer_u.astype(jnp.int32), SL - 1)
+    umeta = jnp.concatenate(
+        [
+            style_mat[slot_all],  # the one big row gather
+            jnp.stack(
+                [
+                    jnp.minimum(src_u, run_cap - 1),
+                    virt_u,
+                ],
+                axis=1,
+            ).astype(jnp.float32),
+        ],
+        axis=1,
+    )  # [u_cap, 14] f32
+    (M_FR, M_FUNC, M_BLEND, M_FT, M_CLIPN, M_ISCL, M_LAYER, M_SI,
+     M_R, M_G, M_B, M_A, M_SRC, M_VFLAGS) = range(14)
+    # Carries pre-selected per unit (real -> carry-in, virtual -> carry-
+    # after, both sorted-domain) via one concatenated row gather.
+    virt_all = (virt_u & FLAG_VIRTUAL) != 0
+    carr_cat = jnp.concatenate([carry_in_s, carry_after_s], axis=0)
+    cidx = jnp.minimum(src2_u, run_cap - 1) + jnp.where(virt_all, run_cap, 0)
+    carry_u = carr_cat[cidx]  # [u_cap, 16] i32
 
     shape = (n_tiles, TH, TW)
     # The *0 terms tie the fori_loop carry's initial value to row_lo so its
@@ -481,44 +563,41 @@ def paint(
     else:  # no clip state carried through the fold at all
         clip_state0 = ()
 
-    def step_wave(p, k, state):
+    def step_wave(p, k, state, live=None):
         dst = state[:4]
         if features.has_clip:
             clip_mask, clip_last = state[4:]
         shape = (p, TH, TW)
         u = jax.lax.dynamic_index_in_dim(table_kt, k, axis=0, keepdims=False)[:p]
         present = u >= 0
+        if live is not None:  # manual-unroll tail guard: a dead step no-ops
+            present &= live
         if skip_p is not None:
             present &= ~skip_p[:p]
         uc = jnp.maximum(u, 0)
 
-        # Tiny per-tile gathers (T indices) for unit metadata.
-        slot = jnp.minimum(layer_u[uc].astype(jnp.int32), st_orders.shape[0] - 1)
-        src = jnp.minimum(src_u[uc], run_cap - 1)
-        virt = (virt_u[uc] & FLAG_VIRTUAL) != 0
-        si = st_pidx[slot]
-        layer = (st_orders[slot] & jnp.uint32(consts.LAYER_LIMIT)).astype(
-            jnp.int32
-        )
+        # Three row gathers per step: unit meta, carries, packed grid.
+        m = umeta[uc]  # [p, 14] f32
+        layer = m[:, M_LAYER].astype(jnp.int32)
+        src = m[:, M_SRC].astype(jnp.int32)
+        vflags = m[:, M_VFLAGS].astype(jnp.int32)
+        virt = (vflags & FLAG_VIRTUAL) != 0
 
-        # Row gathers: packed grid + carries; integrate coverage in-step.
         g = grid[src]  # [T, 256] i32
         area, cover = unpack_grid(g)
         area = jnp.where(virt[:, None], 0, area).reshape(shape)
         cover = jnp.where(virt[:, None], 0, cover).reshape(shape)
-        carry_r = carry_in[src]  # [T, 16]
-        carry_v = carry_after_s[src]
-        carry = jnp.where(virt[:, None], carry_v, carry_r)
+        carry = carry_u[uc]  # [T, 16] i32
 
         exc = jnp.cumsum(cover, axis=2) - cover
         acc = carry[:, :, None] + exc
         da = consts.PIXEL_DOUBLE_WIDTH * acc + area
-        cov = _coverage(da, (st_fill_rule[si] == 1)[:, None, None])
+        cov = _coverage(da, (m[:, M_FR] == 1.0)[:, None, None])
         cov = cov * present[:, None, None]
 
-        func = st_func[si]
-        is_clip_unit = present & (func == 1)
-        draw = present & (func == 0)
+        func = m[:, M_FUNC]
+        is_clip_unit = present & (func == 1.0)
+        draw = present & (func == 0.0)
 
         if features.has_clip:
             # Clip expiry precedes everything (`painter/mod.rs:302-306`).
@@ -526,26 +605,29 @@ def paint(
             clip_last = jnp.where(expired, -1, clip_last)
             new_clip = is_clip_unit & (clip_last < 0)
             clip_last = jnp.where(
-                new_clip, layer + st_clip_n[si], clip_last
+                new_clip, layer + m[:, M_CLIPN].astype(jnp.int32), clip_last
             )
             clip_mask = jnp.where(is_clip_unit[:, None, None], cov, clip_mask)
 
         # Fill evaluation.
-        ftype = st_fill_type[si]
-        color = st_color[si]
-        fill = [color[:, ch][:, None, None] * jnp.ones(shape[1:]) for ch in range(4)]
+        ftype = m[:, M_FT]
+        fill = [m[:, M_R + ch][:, None, None] * jnp.ones(shape[1:]) for ch in range(4)]
+        if features.has_gradient or features.has_texture:
+            si = m[:, M_SI].astype(jnp.int32)
         if features.has_gradient:
             gf = _gradient_at(st_grad[si], st_stops[si], xg[:p], yg[:p])
-            selg = (ftype == 1)[:, None, None]
+            selg = (ftype == 1.0)[:, None, None]
             fill = [jnp.where(selg, gg, f) for gg, f in zip(gf, fill)]
         if features.has_texture:
             tf = _texture_at(st_tex[si], atlas, xg[:p], yg[:p])
-            selt = (ftype == 2)[:, None, None]
+            selt = (ftype == 2.0)[:, None, None]
             fill = [jnp.where(selt, t, f) for t, f in zip(tf, fill)]
 
         src_a = fill[3] * cov
         if features.has_clip:
-            clipped = st_is_clipped[si]
+            # Draws whose governing full clip was dropped draw unclipped
+            # (`skip_trivial_clips`, FLAG_UNCLIPPED).
+            clipped = (m[:, M_ISCL] == 1.0) & ((vflags & FLAG_UNCLIPPED) == 0)
             active = clip_last >= 0
             src_a = jnp.where(
                 clipped[:, None, None],
@@ -555,7 +637,8 @@ def paint(
         src_a = src_a * draw[:, None, None]
 
         blended = _blend(
-            st_blend[si], features.blend_modes, dst[0], dst[1], dst[2],
+            m[:, M_BLEND].astype(jnp.int32), features.blend_modes,
+            dst[0], dst[1], dst[2],
             fill[0], fill[1], fill[2],
         )
 
@@ -588,23 +671,85 @@ def paint(
         bounds.append(jnp.minimum(depth_sorted[nxt], upper))
     bounds.append(upper)
 
+    # Manual 2x unroll: each step's real work is small (one [p, 256] row
+    # gather + elementwise), so the fori's fixed per-iteration overhead is a
+    # large fraction of paint time at depth ~250.  Bounds are traced, so
+    # fori_loop's own `unroll` is unavailable; dead tail steps no-op through
+    # the `live` mask (bit-exact: src_a becomes 0).
+    UNROLL = 2
     state = dst0 + clip_state0
     for i, pfx in enumerate(prefixes):
         sub = jax.tree_util.tree_map(lambda x: x[:pfx], state)
-        sub = jax.lax.fori_loop(
-            bounds[i],
-            jnp.maximum(bounds[i + 1], bounds[i]),
-            lambda k, s, _p=pfx: step_wave(_p, k, s),
-            sub,
-        )
+        lo = bounds[i]
+        hi = jnp.maximum(bounds[i + 1], bounds[i])
+
+        def body(it, s, _p=pfx, _lo=lo, _hi=hi):
+            for u in range(UNROLL):
+                k = _lo + it * UNROLL + u
+                s = step_wave(_p, k, s, live=k < _hi)
+            return s
+
+        sub = jax.lax.fori_loop(0, (hi - lo + UNROLL - 1) // UNROLL, body, sub)
         state = jax.tree_util.tree_map(
             lambda full, part: full.at[: part.shape[0]].set(part), state, sub
         )
     dst = state[:4]
 
+    # Scalar color fold for the solid tiles (same blend formulas on
+    # [T, 1, 1] shapes with cov == 1, so results are bit-identical to the
+    # pixel fold this replaces — at 1/256th the work per unit).
+    k_solid = jnp.max(jnp.where(tile_solid, kmax_raw, 0))
+    table_t = table.T  # [K, T] original tile order
+    sol0 = tuple(
+        jnp.full((n_tiles, 1, 1), clear_color[ch]) + vary_f for ch in range(4)
+    )
+
+    def solid_step(k, cols, live=None):
+        u = jax.lax.dynamic_index_in_dim(table_t, k, axis=0, keepdims=False)
+        present = (u >= 0) & tile_solid
+        if live is not None:
+            present &= live
+        uc = jnp.maximum(u, 0)
+        m = umeta[uc]  # [T, 14]
+        fill = [m[:, M_R + ch][:, None, None] for ch in range(4)]
+        src_a = fill[3] * present[:, None, None]
+        blended = _blend(
+            m[:, M_BLEND].astype(jnp.int32), features.blend_modes,
+            cols[0], cols[1], cols[2],
+            fill[0], fill[1], fill[2],
+        )
+        inv_dst_a = 1.0 - cols[3]
+        inv_dst_a_src_a = inv_dst_a * src_a
+        inv_src_a = 1.0 - src_a
+        dst_a_src_a = cols[3] * src_a
+        return tuple(
+            cols[ch] * inv_src_a
+            + (fill[ch] * inv_dst_a_src_a + blended[ch] * dst_a_src_a)
+            for ch in range(3)
+        ) + (cols[3] * inv_src_a + src_a,)
+
+    # The body is a handful of [T]-sized ops — at depth ~250 the loop is
+    # pure per-iteration overhead, so unroll aggressively (manual, traced
+    # bound; dead steps no-op via the live mask).
+    SUNROLL = 8
+
+    def solid_body(it, cols):
+        for u in range(SUNROLL):
+            k = it * SUNROLL + u
+            cols = solid_step(k, cols, live=k < k_solid)
+        return cols
+
+    sol = jax.lax.fori_loop(
+        0, (k_solid + SUNROLL - 1) // SUNROLL, solid_body, sol0
+    )
+    solid_rgba = jnp.stack([c[:, 0, 0] for c in sol], axis=-1)  # [T, 4]
+
     # Unpermute and assemble: [T, 16, 16] x4 -> [rows*16, tiles_x*16, 4]
     frame = jnp.stack(dst, axis=-1)  # [T, 16, 16, 4] permuted tile order
     frame = jnp.zeros_like(frame).at[perm].set(frame)
+    frame = jnp.where(
+        tile_solid[:, None, None, None], solid_rgba[:, None, None, :], frame
+    )
     frame = frame.reshape(rows, tiles_x, TH, TW, 4)
     frame = frame.transpose(0, 2, 1, 3, 4).reshape(rows * TH, tiles_x * TW, 4)
     return frame

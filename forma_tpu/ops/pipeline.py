@@ -97,20 +97,25 @@ def _core(
         & (~st["is_clipped"])
     )
     st_isclip = st["func"] == 1
+    st_solid = (
+        (st["func"] == 0) & (st["fill_type"] == 0) & (~st["is_clipped"])
+    )
 
     rd = _runs.run_data(
         key_hi, key_lo, payload, run_id, new_run,
         jnp.minimum(num_runs, caps.run),
-        st["pidx"], st["fill_rule"], st_opaque, st_isclip,
+        st["pidx"], st["fill_rule"], st_opaque, st_isclip, st_solid,
         caps.run, tiles_x,
     )
 
-    key_u, layer_u, src_u, virt_u, k_u, u_valid, k_pre = _runs.build_units(
-        rd["run_hi"], rd["run_layer"], rd["r_valid"], rd["real_flags"],
-        rd["key2_s"], rd["tx_s"], rd["gap_flags_s"],
-        rd["span"], rd["cumspan"],
-        jnp.minimum(rd["v_total"], caps.virt),
-        caps.virt,
+    key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid, k_pre = (
+        _runs.build_units(
+            rd["run_hi"], rd["run_layer"], rd["r_valid"], rd["real_flags"],
+            rd["inv"], rd["key2_s"], rd["tx_s"], rd["gap_flags_s"],
+            rd["span"], rd["cumspan"],
+            jnp.minimum(rd["v_total"], caps.virt),
+            caps.virt,
+        )
     )
 
     n_tiles = rows * tiles_x
@@ -147,16 +152,18 @@ def _core(
         )
         cend_u = id_u + st["clip_n"][pi_u]
         clipped_u = st["is_clipped"][pi_u] & (st["func"][pi_u] == 0)
-        key_u, layer_u, src_u, virt_u, k_u, u_valid, _ = (
+        key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid, _ = (
             _paint.skip_trivial_clips(
-                key_u, layer_u, src_u, virt_u, k_u, u_valid,
+                key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid,
                 id_u, cend_u, clipped_u,
             )
         )
 
     if cull:
-        key_u, layer_u, src_u, virt_u, k_u, u_valid, k_needed = (
-            _paint.cull_units(key_u, layer_u, src_u, virt_u, k_u, u_valid)
+        key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid, k_needed = (
+            _paint.cull_units(
+                key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid
+            )
         )
     else:
         k_needed = k_pre
@@ -187,8 +194,8 @@ def _core(
         k_needed = jnp.max(jnp.where(tile_skip, 0, kmax_t))
 
     frame = _paint.paint(
-        key_u, layer_u, src_u, virt_u, k_u, u_valid,
-        rd["grid"], rd["carry_in"], rd["carry_after_s"],
+        key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid,
+        rd["grid"], rd["carry_in_s"], rd["carry_after_s"],
         st["orders"], st["pidx"], st["fill_rule"], st["func"], st["clip_n"],
         st["is_clipped"], st["blend"], st["fill_type"], st["color"],
         st["grad"], st["stops"], st["tex"], st["atlas"], clear,

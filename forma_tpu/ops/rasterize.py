@@ -48,6 +48,8 @@ from .line_setup import (
     PD,
     PDX,
     PDY,
+    PLEN,
+    PSLOT,
     PX0,
     PY0,
 )
@@ -114,19 +116,15 @@ def rasterize_sort(
     j = (iota_v - base).astype(jnp.int32)  # vline index within its line
     v_live = iota_v < v_total
 
-    # Two row-gathers for all per-line data.  All dense math below runs in
-    # [k_seg, V] orientation: V in the minor (lane) dimension keeps the VPU
-    # fully occupied — a [V, 8] layout would pad 8 lanes to 128 and waste
-    # 94% of both compute and memory.
-    # Two row gathers for all per-line data.  (Do NOT bitcast the i32 meta
-    # into the f32 matrix to save a gather: int bit patterns are f32
-    # denormals and TPU compilations can route the gather through
-    # flush-to-zero datapaths — observed zeroing every small length in a
-    # standalone compile while the fused pipeline happened to survive.)
-    P = params[li]  # [V, 14]
-    M = jnp.stack([slots, lengths], axis=1)[li]  # [V, 2] i32
-    slot_v = M[:, 0]
-    len_v = M[:, 1]
+    # ONE row-gather for all per-line data (slot/length ride in the f32
+    # matrix as exact value conversions — NOT the round-2 bitcast that hit
+    # TPU denormal flushing).  All dense math below runs in [k_seg, V]
+    # orientation: V in the minor (lane) dimension keeps the VPU fully
+    # occupied — a [V, 8] layout would pad 8 lanes to 128 and waste 94% of
+    # both compute and memory.
+    P = params[li]  # [V, 16]
+    slot_v = P[:, PSLOT].astype(jnp.int32)
+    len_v = P[:, PLEN].astype(jnp.int32)
 
     av = P[:, PA][None, :]
     bv = P[:, PB][None, :]

@@ -113,6 +113,7 @@ def run_data(
     st_fill_rule,  # i32 [P] per distinct props
     st_opaque,  # bool [P] solid, alpha 1, Over, draw, not clipped
     st_isclip,  # bool [P] func == Clip
+    st_solid,  # bool [P] solid-fill draw, not clipped (any alpha/blend)
     run_cap: int,
     tiles_x: int,
 ):
@@ -176,6 +177,13 @@ def run_data(
     key2_s, txb_s, orig = jax.lax.sort(
         (key2, txb_key, jnp.arange(run_cap, dtype=jnp.int32)), num_keys=2
     )
+    # Inverse permutation (original run -> sorted position): lets REAL paint
+    # units address the sorted-domain carry arrays directly, replacing the
+    # [R, 16] carry scatter-back this code used to do (~11 ms at paris
+    # scale; a [R]-keyed sort is ~1 ms).
+    _, inv = jax.lax.sort(
+        (orig, jnp.arange(run_cap, dtype=jnp.int32)), num_keys=1
+    )
 
     rowcov_s = rowcov[orig]  # row gather [R, 16]
     new_group = key2_s != jnp.roll(key2_s, 1)
@@ -207,8 +215,6 @@ def run_data(
     span = jnp.where(valid_s & ~empty, span, 0)
     cumspan = jnp.cumsum(span)
 
-    carry_in = jnp.zeros((run_cap, TH), jnp.int32).at[orig].set(carry_in_s)
-
     # Unit flags for the occlusion-culling pass
     # (`skip_fully_covered_layers.rs` + `Cover::is_full`,
     # `painter/mod.rs:200-214`): a GAP unit is full-cover when every pixel
@@ -222,6 +228,14 @@ def run_data(
     gap_flags_s = (
         jnp.where(full_s & st_opaque[pidx_s], 2, 0)  # FLAG_FULL_OPAQUE
         | jnp.where(isclip_s, 4, 0)  # FLAG_CLIP
+        # FLAG_FULL_SOLID: uniform coverage 1 with a solid fill — eligible
+        # for the per-tile scalar color fold (`TileWriteOp::Solid`,
+        # `skip_fully_covered_layers.rs:27-119`).
+        | jnp.where(full_s & st_solid[pidx_s], 8, 0)
+        # FLAG_FULL_CLIP: a clip whose carried cover is full — it admits
+        # everything, so `skip_trivial_clips` drops it and un-clips the
+        # draws it governs (`skip_trivial_clips.rs:27-112`, full-clip arm).
+        | jnp.where(full_s & isclip_s, 16, 0)
     ).astype(jnp.int32)
     real_flags = (
         jnp.zeros(run_cap, jnp.int32)
@@ -235,10 +249,11 @@ def run_data(
         r_valid=r_valid,
         real_flags=real_flags,
         grid=grid,
-        carry_in=carry_in,
+        inv=inv,  # original run -> sorted position
         # sorted-by-(row, layer, tile_x) domain:
         key2_s=key2_s,
         tx_s=tx_s,
+        carry_in_s=carry_in_s,
         carry_after_s=carry_after_s,
         gap_flags_s=gap_flags_s,
         span=span,
@@ -253,6 +268,7 @@ def build_units(
     run_layer,
     r_valid,
     real_flags,  # i32 [R] FLAG_CLIP per real run (original order)
+    inv,  # i32 [R] original run -> sorted-domain position
     key2_s,
     tx_s,
     gap_flags_s,  # i32 [R] FLAG_FULL_OPAQUE/FLAG_CLIP per gap ((row,layer,tx) order)
@@ -263,10 +279,11 @@ def build_units(
 ):
     """Merges real runs and virtual (gap) units into one per-tile-slot order.
 
-    Returns sorted unit arrays (key, layer, src index, flags, slot k)
-    plus the maximum slot count K (to be read back for the paint fold).
-    flags carry FLAG_VIRTUAL / FLAG_FULL_OPAQUE / FLAG_CLIP bits for the
-    culling pass.
+    Returns sorted unit arrays (key, layer, src index, sorted-domain src2
+    index, flags, slot k) plus the maximum slot count K (to be read back for
+    the paint fold).  flags carry FLAG_VIRTUAL / FLAG_FULL_OPAQUE /
+    FLAG_CLIP bits for the culling pass.  `src` addresses original-order
+    run data (the grid); `src2` addresses the sorted-domain carry arrays.
     """
     run_cap = run_hi.shape[0]
 
@@ -275,6 +292,7 @@ def build_units(
     real_key = jnp.where(r_valid & (txb > 0), run_hi, SENTINEL)
     real_layer = run_layer
     real_src = jnp.arange(run_cap, dtype=jnp.int32)
+    real_src2 = inv
 
     # Virtual units from gap expansion: scatter each gap run's start into the
     # gap index space, prefix-max recovers the owner (no binary search).
@@ -304,10 +322,11 @@ def build_units(
     key_u = jnp.concatenate([real_key, v_key])
     layer_u = jnp.concatenate([real_layer, v_layer])
     src_u = jnp.concatenate([real_src, owner])
+    src2_u = jnp.concatenate([real_src2, owner])
     virt_u = jnp.concatenate([real_flags, v_flags])
 
-    key_u, layer_u, src_u, virt_u = jax.lax.sort(
-        (key_u, layer_u, src_u, virt_u), num_keys=2
+    key_u, layer_u, src_u, src2_u, virt_u = jax.lax.sort(
+        (key_u, layer_u, src_u, src2_u, virt_u), num_keys=2
     )
 
     new_tile = key_u != jnp.roll(key_u, 1)
@@ -317,4 +336,4 @@ def build_units(
     u_valid = key_u != SENTINEL
     k_needed = jnp.max(jnp.where(u_valid, k, -1)) + 1
 
-    return key_u, layer_u, src_u, virt_u, k, u_valid, k_needed
+    return key_u, layer_u, src_u, src2_u, virt_u, k, u_valid, k_needed

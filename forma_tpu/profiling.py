@@ -121,36 +121,39 @@ def profile_frame(renderer, composition, width, height, clear_color, channels=No
         & (st["color"][:, 3] == 1.0) & (st["blend"] == 0) & (~st["is_clipped"])
     )
     st_isclip = st["func"] == 1
+    st_solid = (
+        (st["func"] == 0) & (st["fill_type"] == 0) & (~st["is_clipped"])
+    )
 
-    def do_runs(kh, kl, payload, run_id, new_run, nr, pidx, fr, op, ic):
+    def do_runs(kh, kl, payload, run_id, new_run, nr, pidx, fr, op, ic, so):
         return _runs.run_data(
             kh, kl, payload, run_id, new_run, nr,
-            pidx, fr, op, ic, caps.run, tiles_x,
+            pidx, fr, op, ic, so, caps.run, tiles_x,
         )
 
     runs_args = (kh, kl, payload, run_id, new_run,
                  jnp.minimum(num_runs, caps.run),
-                 st["pidx"], st["fill_rule"], st_opaque, st_isclip)
+                 st["pidx"], st["fill_rule"], st_opaque, st_isclip, st_solid)
     t_rd = _timeit(do_runs, *runs_args)
     rd = jax.jit(do_runs)(*runs_args)
 
     def do_units(rd, vt):
         return _runs.build_units(
             rd["run_hi"], rd["run_layer"], rd["r_valid"], rd["real_flags"],
-            rd["key2_s"], rd["tx_s"], rd["gap_flags_s"], rd["span"],
-            rd["cumspan"], vt, caps.virt,
+            rd["inv"], rd["key2_s"], rd["tx_s"], rd["gap_flags_s"],
+            rd["span"], rd["cumspan"], vt, caps.virt,
         )
 
     vt = jnp.minimum(rd["v_total"], caps.virt)
     t_bu = _timeit(do_units, rd, vt)
     bu = jax.jit(do_units)(rd, vt)
 
-    t_cu = _timeit(lambda *u: _paint.cull_units(*u), *bu[:6])
-    cu = jax.jit(_paint.cull_units)(*bu[:6])
+    t_cu = _timeit(lambda *u: _paint.cull_units(*u), *bu[:7])
+    cu = jax.jit(_paint.cull_units)(*bu[:7])
 
-    def do_paint(cu6, rd, st, clear, ka):
+    def do_paint(cu7, rd, st, clear, ka):
         return _paint.paint(
-            *cu6, rd["grid"], rd["carry_in"], rd["carry_after_s"],
+            *cu7, rd["grid"], rd["carry_in_s"], rd["carry_after_s"],
             st["orders"], st["pidx"], st["fill_rule"], st["func"], st["clip_n"],
             st["is_clipped"], st["blend"], st["fill_type"], st["color"],
             st["grad"], st["stops"], st["tex"], st["atlas"], clear,
@@ -158,9 +161,9 @@ def profile_frame(renderer, composition, width, height, clear_color, channels=No
             k_active=ka,
         )
 
-    ka = jnp.minimum(cu[6], caps.k)
-    t_pt = _timeit(do_paint, tuple(cu[:6]), rd, st, clear, ka)
-    pt = jax.jit(do_paint)(tuple(cu[:6]), rd, st, clear, ka)
+    ka = jnp.minimum(cu[7], caps.k)
+    t_pt = _timeit(do_paint, tuple(cu[:7]), rd, st, clear, ka)
+    pt = jax.jit(do_paint)(tuple(cu[:7]), rd, st, clear, ka)
     t_srgb = _timeit(lambda pt: _srgb.pack_srgb(pt, chans), pt)
 
     def do_fused(px, py, line_slot, g, st, clear):
@@ -181,7 +184,7 @@ def profile_frame(renderer, composition, width, height, clear_color, channels=No
         srgb=t_srgb,
         fused_frame=t_fused,
         dispatch_floor_ms=floor,
-        k_active=int(np.asarray(cu[6])),
+        k_active=int(np.asarray(cu[7])),
     )
     renderer.last_timings = t
     return t

@@ -18,6 +18,7 @@ import numpy as np
 
 from . import consts
 from .buffer import RGBA
+from .buffer import normalize_channels as _normalize_channels
 from .composition import Composition
 from .ops import pipeline as _pipe
 from .ops import styles as _styles
@@ -244,13 +245,16 @@ class Renderer:
 
             lengths = np.where(valid, ib(q0x, q1x) + ib(q0y, q1y) + 1, 0)
             vlines = int(np.ceil(lengths / _pipe.K_SEG).sum())
-        # vline is exact; k is free at runtime (the wave fold is bounded by
-        # actual depth, the static cap only sizes the slot table).  run/virt
-        # have no tight host bound — their diag-driven growth lands on the
-        # right bucket in one step.
+        # vline is exact for the CURRENT transforms; animation (zoom/rotate)
+        # shifts per-line lengths a few percent per frame, and a mid-sequence
+        # regrow is a full recompile through the remote toolchain — so pad
+        # by one fine bucket (~6.25%) of headroom.  k is free at runtime
+        # (the wave fold is bounded by actual depth, the static cap only
+        # sizes the slot table).  run/virt have no tight host bound — their
+        # diag-driven growth lands on the right bucket in one step.
         caps = self._caps
         self._caps = _pipe.Caps(
-            vline=max(caps.vline, _bucket_fine(vlines + 512)),
+            vline=max(caps.vline, _bucket_fine(int(vlines * 1.0626) + 512)),
             run=caps.run,
             virt=caps.virt,
             k=max(caps.k, 256 if vlines > 100_000 else caps.k),
@@ -364,7 +368,9 @@ class Renderer:
         rows = -(-height // consts.TILE_HEIGHT)
         tiles_x = -(-width // consts.TILE_WIDTH)
         n_tiles = rows * tiles_x
-        chans = tuple(ch.value for ch in channels)
+        chans = tuple(
+            ch.value for ch in _normalize_channels(channels, clear_color)
+        )
 
         # Completely unchanged scene: re-emit the cached frame with no device
         # dispatch at all (the whole-frame analog of TileWriteOp::None).
@@ -529,7 +535,9 @@ class Renderer:
             composition, uniq, st_host.orders
         )
         clear = jnp.asarray(clear_color.to_array(), jnp.float32)
-        chans = tuple(ch.value for ch in channels)
+        chans = tuple(
+            ch.value for ch in _normalize_channels(channels, clear_color)
+        )
 
         for _ in range(8):
             frame, diag = _pipe.render_frame_sharded(
@@ -613,7 +621,9 @@ class Renderer:
             composition, uniq, st_host.orders
         )
         clear = jnp.asarray(clear_color.to_array(), jnp.float32)
-        chans = tuple(ch.value for ch in channels)
+        chans = tuple(
+            ch.value for ch in _normalize_channels(channels, clear_color)
+        )
 
         for _ in range(8):  # bounded growth retries
             frame, diag = _pipe.render_frame(
