@@ -25,6 +25,26 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/forma_tpu_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Frees compiled executables after each test module.
+
+    A full-suite run accumulates every compiled pipeline variant in one
+    process; past ~90% of the suite, XLA:CPU's executable (de)serialization
+    segfaults (observed twice at the same test, in
+    `put_executable_and_time`/`get_executable_and_time`; the same tests pass
+    in a fresh process).  Bounding the in-process executable count avoids
+    the crash; the persistent disk cache keeps re-JITs cheap."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 def pytest_sessionfinish(session, exitstatus):
     """Writes the golden-comparison HTML report (the analog of the reference's
     self-updating report.html, `e2e-tests/tests/test_env.rs:315-421`)."""
