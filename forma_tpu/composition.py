@@ -427,6 +427,8 @@ class Composition:
         self.layers: Dict[Order, Layer] = {}
         self._osm_key = None
         self._osm = None
+        self._alen_key = None
+        self._alen = 0
 
     def create_layer(self) -> Layer:
         return Layer(self._shared, self._shared.new_geom_id())
@@ -536,7 +538,16 @@ class Composition:
         return len(self._shared.segment_buffer)
 
     def _actual_len(self) -> int:
-        return sum(layer.lines_count for layer in self.layers.values())
+        # Cached per scene_version: every geometry mutation (insert/clear/
+        # set_order/layer finalize) bumps it, and summing 30k layers' counts
+        # per frame is measurable host overhead in the frame loop.
+        sv = self._shared.scene_version
+        if self._alen_key != sv:
+            self._alen_key = sv
+            self._alen = sum(
+                layer.lines_count for layer in self.layers.values()
+            )
+        return self._alen
 
     def compact_geom(self):
         """Drops unreferenced geometry when at least half the buffer is garbage
