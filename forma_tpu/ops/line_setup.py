@@ -52,11 +52,31 @@ def line_setup(
     p1x, p1y = px[1:], py[1:]
 
     gi = jnp.maximum(line_slot, 0)
-    valid = (line_slot >= 0) & g_valid[gi] & (g_slot[gi] >= 0)
-    slots = jnp.where(valid, g_slot[gi], 0).astype(jnp.int32)
+    # ONE [L]-index row gather for all per-geometry data (gathers cost per
+    # index on TPU; four separate gathers here measured ~6 ms at paris
+    # scale).  slot < 2^21 and flags are exact f32 value conversions; the
+    # [G, 9] pack is G-sized (~30k) and ~free.
+    gmat = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    g_slot.astype(jnp.float32),
+                    g_valid.astype(jnp.float32),
+                    g_has_t.astype(jnp.float32),
+                ],
+                axis=1,
+            ),
+            g_t,
+        ],
+        axis=1,
+    )  # [G, 9] f32
+    GM = gmat[gi]  # [L, 9]
+    gslot_l = GM[:, 0].astype(jnp.int32)
+    valid = (line_slot >= 0) & (GM[:, 1] == 1.0) & (gslot_l >= 0)
+    slots = jnp.where(valid, gslot_l, 0)
 
-    t = g_t[gi]
-    has_t = g_has_t[gi]
+    t = GM[:, 3:9]
+    has_t = GM[:, 2] == 1.0
     tp0x = t[:, 0] * p0x + (t[:, 2] * p0y + t[:, 4])
     tp0y = t[:, 1] * p0x + (t[:, 3] * p0y + t[:, 5])
     tp1x = t[:, 0] * p1x + (t[:, 2] * p1y + t[:, 4])

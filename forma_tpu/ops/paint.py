@@ -271,8 +271,10 @@ def _renumber_units(key_u, layer_u, src_u, src2_u, virt_u, keep):
     """Drops units where ~keep, re-sorts, recomputes per-tile slot indices."""
     n = key_u.shape[0]
     key2 = jnp.where(keep, key_u, SENTINEL)
+    # Unstable: (key, layer) pairs are unique per unit (sentinels masked),
+    # and a stable sort makes XLA sort a hidden iota tiebreak operand.
     key2, layer_u, src_u, src2_u, virt_u = jax.lax.sort(
-        (key2, layer_u, src_u, src2_u, virt_u), num_keys=2
+        (key2, layer_u, src_u, src2_u, virt_u), num_keys=2, is_stable=False
     )
     new_tile = key2 != jnp.roll(key2, 1)
     new_tile = new_tile.at[0].set(True)
@@ -436,47 +438,52 @@ def paint(
     u_cap = key_u.shape[0]
     run_cap = grid.shape[0]
 
-    # Per-tile slot table.
+    # Per-tile slot table — ONE scatter carries everything per-tile passes
+    # need: the unit index in the low 24 bits (u_cap < 2^24 asserted below)
+    # plus a NOT-full-solid flag in bit 24, so per-tile depth and the
+    # all-solid test come from cheap [T, K] reduces instead of two more
+    # u_cap-index scatters (~3 ms each at paris scale).
+    assert u_cap < (1 << 24)
     rowb = (key_u >> TX_BITS).astype(jnp.int32) - 1
     txu = (key_u & jnp.uint32((1 << TX_BITS) - 1)).astype(jnp.int32) - 1
     tile_t = jnp.where(
         u_valid & (k_u < k_slots), rowb * tiles_x + txu, n_tiles
     )
+    notsolid = ((virt_u & FLAG_FULL_SOLID) == 0).astype(jnp.int32)
     table = (
         jnp.full((n_tiles, k_slots), -1, jnp.int32)
         .at[tile_t, jnp.minimum(k_u, k_slots - 1)]
-        .set(jnp.arange(u_cap, dtype=jnp.int32), mode="drop")
+        .set(
+            jnp.arange(u_cap, dtype=jnp.int32) | (notsolid << 24),
+            mode="drop",
+        )
     )
+    slot_present = table >= 0  # [T, K]
+    iota_k = jnp.arange(k_slots, dtype=jnp.int32)[None, :]
 
     # Depth per tile (0 for skipped tiles) and the descending permutation.
-    kmax_raw = (
-        jnp.zeros((n_tiles,), jnp.int32).at[tile_t].max(k_u + 1, mode="drop")
-    )
+    kmax_raw = jnp.max(jnp.where(slot_present, iota_k + 1, 0), axis=1)
 
     # TileWriteOp::Solid (`skip_fully_covered_layers.rs:27-119` +
     # `painter/mod.rs:553-566`): a tile whose every unit is a full-cover
     # solid-fill draw folds to ONE color with per-TILE scalar blending —
     # those tiles leave the per-pixel wave entirely.  cov == 1.0 exactly for
     # full covers, so the scalar fold is bit-identical to the pixel fold.
-    unit_solid = jnp.where(
-        u_valid & (k_u < k_slots),
-        ((virt_u & FLAG_FULL_SOLID) != 0).astype(jnp.int32),
-        1,
+    any_notsolid = jnp.max(
+        jnp.where(slot_present, (table >> 24) & 1, 0), axis=1
     )
-    all_solid = (
-        jnp.ones((n_tiles,), jnp.int32)
-        .at[tile_t]
-        .min(unit_solid, mode="drop")
-    )
-    tile_solid = (all_solid == 1) & (kmax_raw > 0)
+    tile_solid = (any_notsolid == 0) & (kmax_raw > 0)
     if tile_unchanged is not None:
         tile_solid &= ~tile_unchanged
         kmax_t = jnp.where(tile_unchanged | tile_solid, 0, kmax_raw)
     else:
         kmax_t = jnp.where(tile_solid, 0, kmax_raw)
 
+    # Unstable: equal-depth tiles may permute, but tiles are independent
+    # and the final unpermute scatter restores positions bit-exactly.
     neg_depth, perm = jax.lax.sort(
-        (-kmax_t, jnp.arange(n_tiles, dtype=jnp.int32)), num_keys=1
+        (-kmax_t, jnp.arange(n_tiles, dtype=jnp.int32)), num_keys=1,
+        is_stable=False,
     )
     depth_sorted = -neg_depth
 
@@ -574,7 +581,7 @@ def paint(
             present &= live
         if skip_p is not None:
             present &= ~skip_p[:p]
-        uc = jnp.maximum(u, 0)
+        uc = jnp.maximum(u, 0) & 0xFFFFFF  # strip the not-solid table bit
 
         # Three row gathers per step: unit meta, carries, packed grid.
         m = umeta[uc]  # [p, 14] f32
@@ -709,7 +716,7 @@ def paint(
         present = (u >= 0) & tile_solid
         if live is not None:
             present &= live
-        uc = jnp.maximum(u, 0)
+        uc = jnp.maximum(u, 0) & 0xFFFFFF  # strip the not-solid table bit
         m = umeta[uc]  # [T, 14]
         fill = [m[:, M_R + ch][:, None, None] for ch in range(4)]
         src_a = fill[3] * present[:, None, None]

@@ -143,10 +143,14 @@ def run_data(
     lane = jnp.arange(B, dtype=jnp.int32)[None, :]
     nr2 = new_run.reshape(nb, B)
     blk_key = jnp.where(nr2, lane, lane + B)
+    # Unstable sorts throughout: every key set below is unique (lane ids,
+    # full run keys, permutations), so stability only costs XLA a hidden
+    # iota tiebreak operand.
     blk_key_s, kh_s, kl_s = jax.lax.sort(
         (blk_key, key_hi.reshape(nb, B), key_lo.reshape(nb, B)),
         num_keys=1,
         dimension=1,
+        is_stable=False,
     )
     counts = jnp.sum(nr2, axis=1, dtype=jnp.int32)  # boundaries per block
     offs = jnp.cumsum(counts) - counts  # exclusive: ordinal of block's first
@@ -161,8 +165,11 @@ def run_data(
     )
     r = jnp.arange(run_cap, dtype=jnp.int32)
     slot_in_blk = jnp.minimum(r - base_of, B - 1)
-    run_hi = kh_s[block_of, slot_in_blk]
-    run_layer = kl_s[block_of, slot_in_blk]
+    # One 2-wide row gather instead of two scalar gathers (gathers cost per
+    # INDEX on TPU, not per byte).
+    kv = jnp.stack([kh_s, kl_s], axis=-1)[block_of, slot_in_blk]  # [R, 2]
+    run_hi = kv[:, 0]
+    run_layer = kv[:, 1]
     r_valid = (r < num_runs) & (run_hi != SENTINEL)
     run_hi = jnp.where(r_valid, run_hi, SENTINEL)
 
@@ -175,14 +182,16 @@ def run_data(
     key2 = jnp.where(r_valid, (rowb << 21) | run_layer, SENTINEL)
     txb_key = jnp.where(r_valid, txb, SENTINEL)
     key2_s, txb_s, orig = jax.lax.sort(
-        (key2, txb_key, jnp.arange(run_cap, dtype=jnp.int32)), num_keys=2
+        (key2, txb_key, jnp.arange(run_cap, dtype=jnp.int32)), num_keys=2,
+        is_stable=False,
     )
     # Inverse permutation (original run -> sorted position): lets REAL paint
     # units address the sorted-domain carry arrays directly, replacing the
     # [R, 16] carry scatter-back this code used to do (~11 ms at paris
     # scale; a [R]-keyed sort is ~1 ms).
     _, inv = jax.lax.sort(
-        (orig, jnp.arange(run_cap, dtype=jnp.int32)), num_keys=1
+        (orig, jnp.arange(run_cap, dtype=jnp.int32)), num_keys=1,
+        is_stable=False,
     )
 
     rowcov_s = rowcov[orig]  # row gather [R, 16]
@@ -203,15 +212,27 @@ def run_data(
     span = jnp.maximum(span, 0)
 
     # A gap only paints if the carry is non-empty under the layer's fill rule
-    # (`painter/mod.rs:187-198`).
+    # (`painter/mod.rs:187-198`).  All per-run style bits arrive via ONE
+    # packed [R]-index gather: the per-slot pack below is SL-sized (cheap),
+    # while each [R] gather costs ~2.3 ms at paris scale — this replaces
+    # five of them.
     slot_s = jnp.minimum(
         (key2_s & _LAYER_MASK).astype(jnp.int32), st_pidx.shape[0] - 1
     )
-    pidx_s = st_pidx[slot_s]
-    fr_s = st_fill_rule[pidx_s]
+    sl_flags = (
+        st_fill_rule[st_pidx]
+        | (st_isclip[st_pidx].astype(jnp.int32) << 1)
+        | (st_opaque[st_pidx].astype(jnp.int32) << 2)
+        | (st_solid[st_pidx].astype(jnp.int32) << 3)
+    )  # i32 [SL]
+    f_s = sl_flags[slot_s]
+    fr_eo = (f_s & 1) == 1
+    isclip_s = (f_s & 2) != 0
+    opaque_s = (f_s & 4) != 0
+    solid_s = (f_s & 8) != 0
     empty_nz = jnp.all(carry_after_s == 0, axis=1)
     empty_eo = jnp.all((jnp.abs(carry_after_s) & 31) == 0, axis=1)
-    empty = jnp.where(fr_s == 1, empty_eo, empty_nz)
+    empty = jnp.where(fr_eo, empty_eo, empty_nz)
     span = jnp.where(valid_s & ~empty, span, 0)
     cumspan = jnp.cumsum(span)
 
@@ -223,15 +244,14 @@ def run_data(
     ac = jnp.abs(carry_after_s)
     full_nz = jnp.all(ac == consts.PIXEL_WIDTH, axis=1)
     full_eo = jnp.all((ac & 31) == consts.PIXEL_WIDTH, axis=1)
-    full_s = jnp.where(fr_s == 1, full_eo, full_nz)
-    isclip_s = st_isclip[pidx_s]
+    full_s = jnp.where(fr_eo, full_eo, full_nz)
     gap_flags_s = (
-        jnp.where(full_s & st_opaque[pidx_s], 2, 0)  # FLAG_FULL_OPAQUE
+        jnp.where(full_s & opaque_s, 2, 0)  # FLAG_FULL_OPAQUE
         | jnp.where(isclip_s, 4, 0)  # FLAG_CLIP
         # FLAG_FULL_SOLID: uniform coverage 1 with a solid fill — eligible
         # for the per-tile scalar color fold (`TileWriteOp::Solid`,
         # `skip_fully_covered_layers.rs:27-119`).
-        | jnp.where(full_s & st_solid[pidx_s], 8, 0)
+        | jnp.where(full_s & solid_s, 8, 0)
         # FLAG_FULL_CLIP: a clip whose carried cover is full — it admits
         # everything, so `skip_trivial_clips` drops it and un-clips the
         # draws it governs (`skip_trivial_clips.rs:27-112`, full-clip arm).
@@ -305,9 +325,10 @@ def build_units(
     owner = jax.lax.cummax(
         jnp.zeros(v_cap, jnp.int32).at[start_pos].max(sidx, mode="drop")
     )
-    base = jax.lax.cummax(
-        jnp.zeros(v_cap, jnp.int32).at[start_pos].max(starts, mode="drop")
-    )
+    # starts = cumsum(span) - span is nondecreasing in run index, so the
+    # owner's start IS the prefix-max of scattered starts — a [v_cap]-sized
+    # gather instead of a second run_cap-index scatter (~2 ms at paris).
+    base = starts[owner]
     off = vj - base
     own2 = jnp.stack([tx_s, gap_flags_s], axis=1)[owner]  # one row gather
     v_tx = own2[:, 0] + 1 + off
@@ -326,7 +347,7 @@ def build_units(
     virt_u = jnp.concatenate([real_flags, v_flags])
 
     key_u, layer_u, src_u, src2_u, virt_u = jax.lax.sort(
-        (key_u, layer_u, src_u, src2_u, virt_u), num_keys=2
+        (key_u, layer_u, src_u, src2_u, virt_u), num_keys=2, is_stable=False
     )
 
     new_tile = key_u != jnp.roll(key_u, 1)
