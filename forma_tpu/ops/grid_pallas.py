@@ -42,17 +42,21 @@ CROWS = 32  # grid rows per output chunk / DMA flush
 NCELL = 256  # cells per run (16x16 tile)
 
 
-def _kernel(seg_ref, grid_ref, cbuf, sendbuf, state, sems):
+def _kernel(seg_ref, grid_ref, rowcov_ref, cbuf, sendbuf, sendbuf2, state, sems, sems2):
     """One grid step: accumulate block `b`'s segments into chunk-aligned
     grid rows.
 
     seg_ref [1, 4, B] i32 — (rid, cell, area, cover) rows of this block.
+    rowcov_ref [gp, TH] i32 — per-run row sums of cover, emitted at flush
+    time from the VMEM-resident chunk (saves the callers' full re-read of
+    the 300+ MB grid just to reduce it).
 
     Scratch:
       cbuf   [CROWS, NCELL] i32 — the current partial chunk (persistent)
       sendbuf [2, CROWS, NCELL] i32 — DMA staging (double buffer)
+      sendbuf2 [2, CROWS, 128] i32 — rowcov DMA staging (cols 16+ zero)
       state  [2] i32 SMEM — (current chunk id, flush count)
-      sems   DMA((2,)) — per-slot flush semaphores
+      sems/sems2   DMA((2,)) — per-slot flush semaphores
     """
     b = pl.program_id(0)
     nb = pl.num_programs(0)
@@ -83,7 +87,7 @@ def _kernel(seg_ref, grid_ref, cbuf, sendbuf, state, sems):
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (CROWS, B), 0)
 
     def flush(q_new):
-        """DMA the finished chunk out and start a fresh one."""
+        """DMA the finished chunk (and its cover row sums) out."""
         fc = state[1]
         slot = jnp.bitwise_and(fc, 1)
 
@@ -94,13 +98,38 @@ def _kernel(seg_ref, grid_ref, cbuf, sendbuf, state, sems):
                 sendbuf.at[slot], grid_ref.at[pl.ds(0, CROWS), :],
                 sems.at[slot],
             ).wait()
+            pltpu.make_async_copy(
+                sendbuf2.at[slot], rowcov_ref.at[pl.ds(0, CROWS), :],
+                sems2.at[slot],
+            ).wait()
 
         sendbuf[slot] = cbuf[:, :]
+        # Row sums of the cover half: cells are ly*16+lx, so rowcov is a
+        # [NCELL, 16] one-hot contraction.  (Mosaic can't shape-cast
+        # [32,256]->[32,16,16] for a reduce.)  Exact: covers are split into
+        # bytes (each exact in bf16) and the per-row byte sums stay < 2^12.
+        cover16 = (cbuf[:, :] << 16) >> 16
+        b0 = (cover16 & 255).astype(jnp.bfloat16)
+        b1 = (cover16 >> 8).astype(jnp.bfloat16)  # signed high byte
+        # 128-lane staging (DMA slices need 128-aligned minor dims); the
+        # one-hot never matches columns >= 16, so they stay exactly zero.
+        oh_ly = (
+            jax.lax.broadcasted_iota(jnp.int32, (NCELL, 128), 0) // 16
+            == jax.lax.broadcasted_iota(jnp.int32, (NCELL, 128), 1)
+        ).astype(jnp.bfloat16)
+        s0 = jnp.dot(b0, oh_ly, preferred_element_type=jnp.float32)
+        s1 = jnp.dot(b1, oh_ly, preferred_element_type=jnp.float32)
+        sendbuf2[slot] = s1.astype(jnp.int32) * 256 + s0.astype(jnp.int32)
         cq = state[0]
         pltpu.make_async_copy(
             sendbuf.at[slot],
             grid_ref.at[pl.ds(cq * CROWS, CROWS), :],
             sems.at[slot],
+        ).start()
+        pltpu.make_async_copy(
+            sendbuf2.at[slot],
+            rowcov_ref.at[pl.ds(cq * CROWS, CROWS), :],
+            sems2.at[slot],
         ).start()
         state[1] = fc + 1
         state[0] = q_new
@@ -143,6 +172,10 @@ def _kernel(seg_ref, grid_ref, cbuf, sendbuf, state, sems):
                 sendbuf.at[slot], grid_ref.at[pl.ds(0, CROWS), :],
                 sems.at[slot],
             ).wait()
+            pltpu.make_async_copy(
+                sendbuf2.at[slot], rowcov_ref.at[pl.ds(0, CROWS), :],
+                sems2.at[slot],
+            ).wait()
 
         @pl.when(fc >= 2)
         def _w2():
@@ -150,6 +183,10 @@ def _kernel(seg_ref, grid_ref, cbuf, sendbuf, state, sems):
             pltpu.make_async_copy(
                 sendbuf.at[slot], grid_ref.at[pl.ds(0, CROWS), :],
                 sems.at[slot],
+            ).wait()
+            pltpu.make_async_copy(
+                sendbuf2.at[slot], rowcov_ref.at[pl.ds(0, CROWS), :],
+                sems2.at[slot],
             ).wait()
 
 
@@ -162,9 +199,12 @@ def grid_build_pallas(rid, cell, area, cover, run_cap: int, interpret: bool = Fa
     cell  i32 [N] in [0, 256)
     area  i32 [N], cover i32 [N] (padding entries contribute 0)
 
-    N must be a multiple of 512.  Returns grid with run_cap padded up to a
-    multiple of 32; rows beyond the last run id are UNINITIALIZED — callers
-    must mask by run validity (they already do).
+    N must be a multiple of 512.  Returns (grid, rowcov): the packed grid
+    and the per-run [*, 16] row sums of its cover half, both with run_cap
+    padded up to a multiple of 32; rows beyond the last run id are
+    UNINITIALIZED — callers must mask by run validity (they already do).
+    (rowcov stages through 128 lanes — DMA minor-dim alignment — and is
+    sliced back to 16 here.)
     """
     n = rid.shape[0]
     assert n % B == 0, n
@@ -181,19 +221,27 @@ def grid_build_pallas(rid, cell, area, cover, run_cap: int, interpret: bool = Fa
         axis=1,
     )  # [nb, 4, B]
 
-    grid = pl.pallas_call(
+    grid, rowcov = pl.pallas_call(
         _kernel,
         grid=(nb,),
         in_specs=[pl.BlockSpec((1, 4, B), lambda b: (b, 0, 0))],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((gp, NCELL), jnp.int32),
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((gp, NCELL), jnp.int32),
+            jax.ShapeDtypeStruct((gp, 128), jnp.int32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((CROWS, NCELL), jnp.int32),
             pltpu.VMEM((2, CROWS, NCELL), jnp.int32),
+            pltpu.VMEM((2, CROWS, 128), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(seg)
-    return grid
+    return grid, rowcov[:, :16]

@@ -27,6 +27,7 @@ sort moves half the key bytes.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -56,6 +57,17 @@ from .line_setup import (
 
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 TX_BITS = 13  # tile_x+1 fits 13 bits (max 4096 tiles of width 16)
+
+
+def _expand_backend() -> str:
+    """Per-line parameter expansion backend: the Pallas MXU monotonic-expand
+    kernel on TPU (bit-identical, ~5x cheaper than the XLA gather path —
+    see ops/expand_pallas.py), the gather elsewhere.  FORMA_EXPAND=xla|pallas
+    overrides (A/B benches)."""
+    env = os.environ.get("FORMA_EXPAND")
+    if env in ("xla", "pallas"):
+        return env
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 def _find(fi, a_over, b_over, cd_over, a, b, c, d):
@@ -102,37 +114,52 @@ def rasterize_sort(
     lets `shard_map` split the framebuffer across chips."""
     L = params.shape[0]
     iota_v = jnp.arange(v_cap, dtype=jnp.uint32)
-
-    # Virtual line -> owning line: scatter each line's (inclusive) vline-end
-    # position, prefix ops recover per-vline line id and intra-line index.
-    ends = jnp.minimum(vline_ends, jnp.uint32(v_cap)).astype(jnp.int32)
-    line_id = jnp.cumsum(
-        jnp.zeros(v_cap + 1, jnp.int32).at[ends].add(1, mode="drop")[:-1]
-    )
-    base = jax.lax.cummax(
-        jnp.zeros(v_cap + 1, jnp.uint32).at[ends].max(vline_ends, mode="drop")[:-1]
-    )
-    li = jnp.minimum(line_id, L - 1)
-    j = (iota_v - base).astype(jnp.int32)  # vline index within its line
     v_live = iota_v < v_total
 
-    # ONE row-gather for all per-line data (slot/length ride in the f32
-    # matrix as exact value conversions — NOT the round-2 bitcast that hit
-    # TPU denormal flushing).  All dense math below runs in [k_seg, V]
-    # orientation: V in the minor (lane) dimension keeps the VPU fully
-    # occupied — a [V, 8] layout would pad 8 lanes to 128 and waste 94% of
-    # both compute and memory.
-    P = params[li]  # [V, 16]
-    slot_v = P[:, PSLOT].astype(jnp.int32)
-    len_v = P[:, PLEN].astype(jnp.int32)
+    # Virtual line -> owning line's parameters.  All dense math below runs
+    # in [k_seg, V] orientation: V in the minor (lane) dimension keeps the
+    # VPU fully occupied — a [V, 8] layout would pad 8 lanes to 128 and
+    # waste 94% of both compute and memory.
+    if _expand_backend() == "pallas":
+        # Monotonic-expand MXU kernel: the [16, V] transposed output makes
+        # every per-param "slice" below a free row read, and j arrives
+        # computed (see ops/expand_pallas.py; ~22 ms -> ~4 ms at paris
+        # scale vs the gather + prefix-scan + column-slice path).
+        from .expand_pallas import expand_params_pallas
 
-    av = P[:, PA][None, :]
-    bv = P[:, PB][None, :]
-    cv = P[:, PC][None, :]
-    dv = P[:, PD][None, :]
-    a_over = ff64.FF(P[:, PAOH][None, :], P[:, PAOL][None, :])
-    b_over = ff64.FF(P[:, PBOH][None, :], P[:, PBOL][None, :])
-    cd_over = ff64.FF(P[:, PCDH][None, :], P[:, PCDL][None, :])
+        PT, j = expand_params_pallas(
+            params, lengths > 0, vline_ends, v_cap
+        )
+        col = lambda i: PT[i]  # noqa: E731
+    else:
+        # XLA path: scatter/prefix ops recover per-vline line id and
+        # intra-line index, then ONE row-gather for all per-line data
+        # (slot/length ride in the f32 matrix as exact value conversions —
+        # NOT the round-2 bitcast that hit TPU denormal flushing).
+        ends = jnp.minimum(vline_ends, jnp.uint32(v_cap)).astype(jnp.int32)
+        line_id = jnp.cumsum(
+            jnp.zeros(v_cap + 1, jnp.int32).at[ends].add(1, mode="drop")[:-1]
+        )
+        base = jax.lax.cummax(
+            jnp.zeros(v_cap + 1, jnp.uint32)
+            .at[ends]
+            .max(vline_ends, mode="drop")[:-1]
+        )
+        li = jnp.minimum(line_id, L - 1)
+        j = (iota_v - base).astype(jnp.int32)  # vline index within its line
+        P = params[li]  # [V, 16]
+        col = lambda i: P[:, i]  # noqa: E731
+
+    slot_v = col(PSLOT).astype(jnp.int32)
+    len_v = col(PLEN).astype(jnp.int32)
+
+    av = col(PA)[None, :]
+    bv = col(PB)[None, :]
+    cv = col(PC)[None, :]
+    dv = col(PD)[None, :]
+    a_over = ff64.FF(col(PAOH)[None, :], col(PAOL)[None, :])
+    b_over = ff64.FF(col(PBOH)[None, :], col(PBOL)[None, :])
+    cd_over = ff64.FF(col(PCDH)[None, :], col(PCDL)[None, :])
 
     seg_lo = j * k_seg
     i_rel = seg_lo[None, :] + jnp.arange(k_seg, dtype=jnp.int32)[:, None]
@@ -151,10 +178,10 @@ def rasterize_sort(
         1.0,
     )
 
-    x0v = P[:, PX0][None, :]
-    y0v = P[:, PY0][None, :]
-    dxv = P[:, PDX][None, :]
-    dyv = P[:, PDY][None, :]
+    x0v = col(PX0)[None, :]
+    y0v = col(PY0)[None, :]
+    dxv = col(PDX)[None, :]
+    dyv = col(PDY)[None, :]
     x0f = t0 * dxv + x0v
     y0f = t0 * dyv + y0v
     x1f = t1 * dxv + x0v

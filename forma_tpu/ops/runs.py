@@ -51,9 +51,10 @@ def _grid_backend() -> str:
 
 
 def _build_grid(rid, cell, area, cover, run_cap: int):
-    """Packed [run_cap, 256] i32 grid: area sums in the high 16 bits, cover
-    in the low 16 (exact because per-cell sums stay within i16, the same
-    bound the reference's tile accumulators rely on)."""
+    """Packed [run_cap, 256] i32 grid (area sums in the high 16 bits, cover
+    in the low 16 — exact because per-cell sums stay within i16, the same
+    bound the reference's tile accumulators rely on) plus the per-run
+    [run_cap, 16] row sums of cover (the carry-chain input)."""
     if _grid_backend() == "pallas":
         from .grid_pallas import B as _B
         from .grid_pallas import grid_build_pallas
@@ -67,13 +68,17 @@ def _build_grid(rid, cell, area, cover, run_cap: int):
             cell = jnp.pad(cell, (0, pad))
             area = jnp.pad(area, (0, pad))
             cover = jnp.pad(cover, (0, pad))
-        return grid_build_pallas(rid, cell, area, cover, run_cap)[:run_cap]
+        grid, rowcov = grid_build_pallas(rid, cell, area, cover, run_cap)
+        return grid[:run_cap], rowcov[:run_cap]
     val = area * 65536 + cover  # zero for padding segments
-    return (
+    grid = (
         jnp.zeros((run_cap, TH * TW), jnp.int32)
         .at[rid, cell]
         .add(val, mode="drop")
     )
+    _, cover_cells = unpack_grid(grid)
+    rowcov = cover_cells.reshape(run_cap, TH, TW).sum(axis=2)
+    return grid, rowcov
 
 
 @jax.jit
@@ -129,7 +134,7 @@ def run_data(
     lx, ly, area, cover = unpack_payload(payload)
     rid = jnp.minimum(run_id, run_cap - 1)
     cell = ly * TW + lx
-    grid = _build_grid(rid, cell, area, cover, run_cap)
+    grid, rowcov = _build_grid(rid, cell, area, cover, run_cap)
 
     # Run metadata by BLOCKED stream compaction: a batched per-block sort
     # moves boundary segments to each block's front (batched row sorts are
@@ -172,9 +177,6 @@ def run_data(
     run_layer = kv[:, 1]
     r_valid = (r < num_runs) & (run_hi != SENTINEL)
     run_hi = jnp.where(r_valid, run_hi, SENTINEL)
-
-    _, cover_cells = unpack_grid(grid)
-    rowcov = cover_cells.reshape(run_cap, TH, TW).sum(axis=2)  # [R, 16]
 
     # Re-sort runs by (row, layer, tile_x) for the carry chains.
     rowb = run_hi >> TX_BITS  # biased row + 1

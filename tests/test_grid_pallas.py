@@ -35,16 +35,20 @@ def test_pallas_grid_matches_xla_scatter(seed):
     np.add.at(ref, (rid, cell), val)
     ref = ref.astype(np.uint64).astype(np.int64) & 0xFFFFFFFF
 
-    got = np.asarray(
-        grid_build_pallas(
-            jnp.asarray(rid), jnp.asarray(cell),
-            jnp.asarray(area), jnp.asarray(cover),
-            run_cap=R, interpret=True,
-        )
-    )[:R]
+    got, rowcov = grid_build_pallas(
+        jnp.asarray(rid), jnp.asarray(cell),
+        jnp.asarray(area), jnp.asarray(cover),
+        run_cap=R, interpret=True,
+    )
+    got = np.asarray(got)[:R]
     rows = min(n_runs + 1, R)  # rows beyond the last run id are undefined
     np.testing.assert_array_equal(
         got[:rows].astype(np.int64) & 0xFFFFFFFF, ref[:rows]
+    )
+    # rowcov output == row sums of the cover half.
+    cov = ((got[:rows].astype(np.int64) & 0xFFFF) ^ 0x8000) - 0x8000
+    np.testing.assert_array_equal(
+        np.asarray(rowcov)[:rows], cov.reshape(rows, 16, 16).sum(axis=2)
     )
 
 
@@ -69,7 +73,7 @@ def test_pallas_grid_single_giant_run():
             jnp.asarray(rid), jnp.asarray(cell),
             jnp.asarray(area), jnp.asarray(cover),
             run_cap=64, interpret=True,
-        )
+        )[0]
     )
     np.testing.assert_array_equal(
         got[:2].astype(np.int64) & 0xFFFFFFFF,

@@ -74,7 +74,7 @@ def main():
         fn = functools.partial(grid_pallas.grid_build_pallas)
     t0 = time.time()
     got_pad = np.asarray(
-        jax.device_get(fn(rid, cell, area, cover, run_cap=R))
+        jax.device_get(fn(rid, cell, area, cover, run_cap=R)[0])
     )
     print(f"pallas compile+run {time.time()-t0:.1f}s")
     got = got_pad[:R]
