@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B = 1024  # segments per grid step
+B = 1024  # segments per grid step (2048 measured 2% slower: onehot cost doubles per block while block count halves)
 CROWS = 32  # grid rows per output chunk / DMA flush
 NCELL = 256  # cells per run (16x16 tile)
 
