@@ -322,11 +322,15 @@ def render_frame_sharded(
         )
         return frame, jax.lax.pmax(diag, "rows")
 
+    # check_vma=False: pallas_call outputs carry no varying-axes metadata,
+    # so the vma checker rejects any Pallas kernel under shard_map; the
+    # out_specs above declare the sharding explicitly instead.
     return jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P("rows"), P()),
+        check_vma=False,
     )(px, py, line_slot, g_slot, g_valid, g_t, g_has_t, st, clear)
 
 
