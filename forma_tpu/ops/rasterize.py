@@ -33,6 +33,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from .. import consts
 from . import ff64
 from .line_setup import (
@@ -55,17 +57,19 @@ from .line_setup import (
     PY0,
 )
 
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+SENTINEL = np.uint32(0xFFFFFFFF)  # numpy scalar: embeds as a literal in Pallas kernels
 TX_BITS = 13  # tile_x+1 fits 13 bits (max 4096 tiles of width 16)
 
 
 def _expand_backend() -> str:
     """Per-line parameter expansion backend: the Pallas MXU monotonic-expand
     kernel on TPU (bit-identical, ~5x cheaper than the XLA gather path —
-    see ops/expand_pallas.py), the gather elsewhere.  FORMA_EXPAND=xla|pallas
-    overrides (A/B benches)."""
+    see ops/expand_pallas.py), the gather elsewhere.
+    FORMA_EXPAND=xla|pallas|fused overrides (A/B benches; "fused" moves the
+    whole ff64 emit into the kernel — a RECORDED NEGATIVE: bit-exact but
+    528 ms/frame vs 98.5, Mosaic lowers the ff64 chain poorly)."""
     env = os.environ.get("FORMA_EXPAND")
-    if env in ("xla", "pallas"):
+    if env in ("xla", "pallas", "fused"):
         return env
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
@@ -92,64 +96,15 @@ def _find(fi, a_over, b_over, cd_over, a, b, c, d):
     return jnp.minimum(guess_a, guess_b)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("v_cap", "k_seg", "rows", "tiles_x", "slot_bits"),
-)
-def rasterize_sort(
-    params,  # f32 [L, 14] per-line constants (line_setup layout)
-    slots,  # i32 [L] layer style slot
-    lengths,  # i32 [L] pixel-segment counts
-    vline_ends,  # u32 [L] inclusive cumsum of ceil(len / k_seg)
-    v_total,  # u32 scalar: actual virtual-line count (<= v_cap)
-    v_cap: int,
-    k_seg: int,
-    rows: int,
-    tiles_x: int,
-    row_lo=0,  # traced: first tile row owned by this shard
-    slot_bits: int = 0,  # >0: single packed u32 sort key [row|tx|slot]
-):
-    """Returns sorted (key_hi, key_lo, payload) u32 arrays of length
-    v_cap * k_seg.  Tile rows are shard-local (row - row_lo), which is what
-    lets `shard_map` split the framebuffer across chips."""
-    L = params.shape[0]
-    iota_v = jnp.arange(v_cap, dtype=jnp.uint32)
-    v_live = iota_v < v_total
+def _emit_core(col, j, v_live, k_seg: int, rows: int, tiles_x: int, row_lo):
+    """The dense per-segment math (`rasterizer.rs:63-76` + payload packing)
+    over [k_seg, V'] given per-vline param accessors.
 
-    # Virtual line -> owning line's parameters.  All dense math below runs
-    # in [k_seg, V] orientation: V in the minor (lane) dimension keeps the
-    # VPU fully occupied — a [V, 8] layout would pad 8 lanes to 128 and
-    # waste 94% of both compute and memory.
-    if _expand_backend() == "pallas":
-        # Monotonic-expand MXU kernel: the [16, V] transposed output makes
-        # every per-param "slice" below a free row read, and j arrives
-        # computed (see ops/expand_pallas.py; ~22 ms -> ~4 ms at paris
-        # scale vs the gather + prefix-scan + column-slice path).
-        from .expand_pallas import expand_params_pallas
-
-        PT, j = expand_params_pallas(
-            params, lengths > 0, vline_ends, v_cap
-        )
-        col = lambda i: PT[i]  # noqa: E731
-    else:
-        # XLA path: scatter/prefix ops recover per-vline line id and
-        # intra-line index, then ONE row-gather for all per-line data
-        # (slot/length ride in the f32 matrix as exact value conversions —
-        # NOT the round-2 bitcast that hit TPU denormal flushing).
-        ends = jnp.minimum(vline_ends, jnp.uint32(v_cap)).astype(jnp.int32)
-        line_id = jnp.cumsum(
-            jnp.zeros(v_cap + 1, jnp.int32).at[ends].add(1, mode="drop")[:-1]
-        )
-        base = jax.lax.cummax(
-            jnp.zeros(v_cap + 1, jnp.uint32)
-            .at[ends]
-            .max(vline_ends, mode="drop")[:-1]
-        )
-        li = jnp.minimum(line_id, L - 1)
-        j = (iota_v - base).astype(jnp.int32)  # vline index within its line
-        P = params[li]  # [V, 16]
-        col = lambda i: P[:, i]  # noqa: E731
-
+    `col(i)` returns param row i as a 1-D [V'] f32 vector; `j`/`v_live` are
+    [V'] (intra-line vline index, liveness).  Returns (tile_x, tile_y,
+    key_lo2, payload, valid), all [k_seg, V'].  Shared verbatim by the XLA
+    path and the fused Pallas rasterize kernel so the two are bit-identical
+    by construction."""
     slot_v = col(PSLOT).astype(jnp.int32)
     len_v = col(PLEN).astype(jnp.int32)
 
@@ -171,10 +126,13 @@ def rasterize_sort(
     # ff64 chain — measured 2x slower end to end; keep the direct form.)
     ii = i_rel - (cv != 0.0).astype(jnp.int32) - (dv != 0.0).astype(jnp.int32)
     t0 = jnp.maximum(
-        _find(ii.astype(jnp.float32), a_over, b_over, cd_over, av, bv, cv, dv), 0.0
+        _find(ii.astype(jnp.float32), a_over, b_over, cd_over, av, bv, cv, dv),
+        0.0,
     )
     t1 = jnp.minimum(
-        _find((ii + 1).astype(jnp.float32), a_over, b_over, cd_over, av, bv, cv, dv),
+        _find(
+            (ii + 1).astype(jnp.float32), a_over, b_over, cd_over, av, bv, cv, dv
+        ),
         1.0,
     )
 
@@ -206,58 +164,176 @@ def rasterize_sort(
     area = mult * cover
 
     # Tiles left of the viewport clamp to tile -1 (cover-carry catch-all);
-    # rows above/below and tiles right of the viewport are dropped — they can
-    # never affect painted pixels (`pixel_segment.rs:47-52`,
+    # rows above/below and tiles right of the viewport are dropped — they
+    # can never affect painted pixels (`pixel_segment.rs:47-52`,
     # `painter/mod.rs:732-734`).
     tile_x = jnp.maximum(tile_x, -1)
     tile_y = tile_y - jnp.int32(row_lo)
     valid = in_range & (tile_y >= 0) & (tile_y < rows) & (tile_x < tiles_x)
 
     key_lo2 = jnp.broadcast_to(
-        slot_v[None, :].astype(jnp.uint32), (k_seg, v_cap)
+        slot_v[None, :].astype(jnp.uint32), i_rel.shape
     )
-    key_lo = jnp.where(valid, key_lo2, 0).reshape(-1)
-
     payload = (
         (local_x << 21)
         | (local_y << 17)
         | ((area + 1024).astype(jnp.uint32) << 6)
         | (cover + 16).astype(jnp.uint32)
     )
-    zero_payload = (jnp.uint32(1024) << 6) | jnp.uint32(16)
-    payload = jnp.where(valid, payload, zero_payload).reshape(-1)
+    zero_payload = np.uint32((1024 << 6) | 16)
+    payload = jnp.where(valid, payload, zero_payload)
+    return tile_x, tile_y, key_lo2, payload, valid
 
-    if slot_bits > 0:
-        # Packed single-key sort: [rowb | txb | slot] in minimal bits.
+
+def _emit_packed(
+    col, j, v_live, k_seg: int, rows: int, tiles_x: int, row_lo,
+    slot_bits: int, tx_bits: int,
+):
+    """_emit_core + single-u32 key packing ([rowb | txb | slot]); sentinel
+    where invalid."""
+    tile_x, tile_y, key_lo2, payload, valid = _emit_core(
+        col, j, v_live, k_seg, rows, tiles_x, row_lo
+    )
+    packed = (
+        (
+            ((tile_y + 1).astype(jnp.uint32) << tx_bits)
+            | (tile_x + 1).astype(jnp.uint32)
+        )
+        << slot_bits
+    ) | key_lo2
+    packed = jnp.where(valid, packed, SENTINEL)
+    return packed, payload
+
+
+def _emit_two_key(col, j, v_live, k_seg: int, rows: int, tiles_x: int, row_lo):
+    """_emit_core + the two-key form (layer slots too wide to pack)."""
+    tile_x, tile_y, key_lo2, payload, valid = _emit_core(
+        col, j, v_live, k_seg, rows, tiles_x, row_lo
+    )
+    key_hi = ((tile_y + 1).astype(jnp.uint32) << TX_BITS) | (
+        tile_x + 1
+    ).astype(jnp.uint32)
+    key_hi = jnp.where(valid, key_hi, SENTINEL)
+    key_lo = jnp.where(valid, key_lo2, 0)
+    return key_hi, key_lo, payload
+
+
+@partial(
+    jax.jit,
+    static_argnames=("v_cap", "k_seg", "rows", "tiles_x", "slot_bits"),
+)
+def rasterize_sort(
+    params,  # f32 [L, 14] per-line constants (line_setup layout)
+    slots,  # i32 [L] layer style slot
+    lengths,  # i32 [L] pixel-segment counts
+    vline_ends,  # u32 [L] inclusive cumsum of ceil(len / k_seg)
+    v_total,  # u32 scalar: actual virtual-line count (<= v_cap)
+    v_cap: int,
+    k_seg: int,
+    rows: int,
+    tiles_x: int,
+    row_lo=0,  # traced: first tile row owned by this shard
+    slot_bits: int = 0,  # >0: single packed u32 sort key [row|tx|slot]
+):
+    """Returns sorted (key_hi, key_lo, payload) u32 arrays of length
+    v_cap * k_seg.  Tile rows are shard-local (row - row_lo), which is what
+    lets `shard_map` split the framebuffer across chips."""
+    L = params.shape[0]
+    backend = _expand_backend()
+
+    # All dense math runs in [k_seg, V] orientation: V in the minor (lane)
+    # dimension keeps the VPU fully occupied — a [V, 8] layout would pad 8
+    # lanes to 128 and waste 94% of both compute and memory.
+    if backend == "fused" and slot_bits > 0:
+        # Fully fused expand + emit inside the kernel.  RECORDED NEGATIVE
+        # (see _expand_backend) — kept for A/B and as the working example
+        # of tracing shared jnp code into a kernel.
+        from .expand_pallas import rasterize_blocks_pallas
+
         tx_bits = max((tiles_x + 1).bit_length(), 1)
-        packed = (
-            (
-                ((tile_y + 1).astype(jnp.uint32) << tx_bits)
-                | (tile_x + 1).astype(jnp.uint32)
-            )
-            << slot_bits
-        ) | key_lo2
-        packed = jnp.where(valid, packed, SENTINEL).reshape(-1)
-        # Unstable: equal (tile, layer) keys' payloads are summed by the
-        # grid accumulation, so their order is irrelevant — and stability
-        # costs a third sorted operand (a hidden iota tiebreak; measured
-        # 30.4 ms for the stable 3-operand sort at 8.9M).
-        packed, payload = jax.lax.sort(
-            (packed, payload), num_keys=1, is_stable=False
+        packed, payload = rasterize_blocks_pallas(
+            params, lengths > 0, vline_ends, v_total,
+            jnp.int32(row_lo), v_cap, k_seg, rows, tiles_x,
+            slot_bits, tx_bits,
         )
-        invalid = packed == SENTINEL
-        txb = (packed >> slot_bits) & jnp.uint32((1 << tx_bits) - 1)
-        rowb = packed >> (slot_bits + tx_bits)
-        key_hi = jnp.where(invalid, SENTINEL, (rowb << TX_BITS) | txb)
-        key_lo = jnp.where(invalid, 0, packed & jnp.uint32((1 << slot_bits) - 1))
+        packed = packed.reshape(-1)
+        payload = payload.reshape(-1)
     else:
-        key_hi = ((tile_y + 1).astype(jnp.uint32) << TX_BITS) | (
-            tile_x + 1
-        ).astype(jnp.uint32)
-        key_hi = jnp.where(valid, key_hi, SENTINEL).reshape(-1)
-        key_hi, key_lo, payload = jax.lax.sort(
-            (key_hi, key_lo, payload), num_keys=2, is_stable=False
-        )
+        if backend == "pallas":
+            # Monotonic-expand MXU kernel: the [16, V] transposed output
+            # makes every per-param column read below a free row read, and
+            # j arrives computed (ops/expand_pallas.py; ~22 ms -> ~4 ms at
+            # paris scale vs the gather + prefix-scan + column-slice path).
+            from .expand_pallas import expand_params_pallas
+
+            iota_v = jnp.arange(v_cap, dtype=jnp.uint32)
+            v_live = iota_v < v_total
+            PT, j = expand_params_pallas(
+                params, lengths > 0, vline_ends, v_cap
+            )
+            col = lambda i: PT[i]  # noqa: E731
+        else:
+            # XLA path: scatter/prefix ops recover per-vline line id and
+            # intra-line index, then ONE row-gather for all per-line data
+            # (slot/length ride in the f32 matrix as exact value
+            # conversions — NOT the round-2 bitcast that hit TPU denormal
+            # flushing).
+            iota_v = jnp.arange(v_cap, dtype=jnp.uint32)
+            v_live = iota_v < v_total
+            ends = jnp.minimum(vline_ends, jnp.uint32(v_cap)).astype(
+                jnp.int32
+            )
+            line_id = jnp.cumsum(
+                jnp.zeros(v_cap + 1, jnp.int32)
+                .at[ends]
+                .add(1, mode="drop")[:-1]
+            )
+            base = jax.lax.cummax(
+                jnp.zeros(v_cap + 1, jnp.uint32)
+                .at[ends]
+                .max(vline_ends, mode="drop")[:-1]
+            )
+            li = jnp.minimum(line_id, L - 1)
+            j = (iota_v - base).astype(jnp.int32)
+            P = params[li]  # [V, 16]
+            col = lambda i: P[:, i]  # noqa: E731
+
+        if slot_bits > 0:
+            tx_bits = max((tiles_x + 1).bit_length(), 1)
+            packed, payload = _emit_packed(
+                col, j, v_live, k_seg, rows, tiles_x, row_lo,
+                slot_bits, tx_bits,
+            )
+            packed = packed.reshape(-1)
+            payload = payload.reshape(-1)
+        else:
+            key_hi, key_lo, payload = _emit_two_key(
+                col, j, v_live, k_seg, rows, tiles_x, row_lo
+            )
+            key_hi, key_lo, payload = jax.lax.sort(
+                (
+                    key_hi.reshape(-1),
+                    key_lo.reshape(-1),
+                    payload.reshape(-1),
+                ),
+                num_keys=2,
+                is_stable=False,
+            )
+            return key_hi, key_lo, payload
+
+    # Packed single-key sort: [rowb | txb | slot] in minimal bits.
+    # Unstable: equal (tile, layer) keys' payloads are summed by the grid
+    # accumulation, so their order is irrelevant — and stability costs a
+    # third sorted operand (a hidden iota tiebreak; measured 30.4 ms for
+    # the stable 3-operand sort at 8.9M).
+    packed, payload = jax.lax.sort(
+        (packed, payload), num_keys=1, is_stable=False
+    )
+    invalid = packed == SENTINEL
+    txb = (packed >> slot_bits) & jnp.uint32((1 << tx_bits) - 1)
+    rowb = packed >> (slot_bits + tx_bits)
+    key_hi = jnp.where(invalid, SENTINEL, (rowb << TX_BITS) | txb)
+    key_lo = jnp.where(invalid, 0, packed & jnp.uint32((1 << slot_bits) - 1))
     return key_hi, key_lo, payload
 
 
