@@ -185,3 +185,98 @@ def test_perspective_transform_reflattens():
     x, y, _ = warped.push_segments_to()
     # w at (4, 4) is 1.04 => that corner maps to ~3.846.
     assert abs(max(y) - 4.0 / 1.04) < 1e-2
+
+
+def test_rat_cubic_high():
+    # `path.rs:1229-1255`
+    prim = _Primitives()
+    w = 10.0
+    prim.push_cubic([
+        wp(0.0, 0.0, 1.0),
+        wp(5.0 * w, 3.0 * w, w),
+        wp(-1.0 * w, 3.0 * w, w),
+        wp(4.0, 0.0, 1.0),
+    ])
+    segments = prim.into_segments()
+    assert len(segments.x) == 45
+
+
+def test_rat_cubic_low():
+    # `path.rs:1257-1284`
+    prim = _Primitives()
+    w = 0.5
+    prim.push_cubic([
+        wp(0.0, 0.0, 1.0),
+        wp(5.0 * w, 3.0 * w, w),
+        wp(-1.0 * w, 3.0 * w, w),
+        wp(4.0, 0.0, 1.0),
+    ])
+    segments = prim.into_segments()
+    assert len(segments.x) == 7
+
+
+def test_collinear_cubic():
+    # `path.rs:1287-1314`
+    prim = _Primitives()
+    prim.push_cubic([wp(1, 0), wp(0, 0), wp(3, 0), wp(2, 0)])
+    segments = prim.into_segments()
+    assert len(segments.x) == 5
+    assert segments.x[0] == 1.0 and segments.y[0] == 0.0
+    assert 0.5 < segments.x[1] < 1.0 and segments.y[1] == 0.0
+    assert 1.0 < segments.x[2] < 2.0 and segments.y[2] == 0.0
+    assert 2.0 < segments.x[3] < 2.5 and segments.y[3] == 0.0
+    assert segments.x[4] == 2.0 and segments.y[4] == 0.0
+
+
+def test_overlapping_control_point_cubic_line():
+    # `path.rs:1316-1344`
+    prim = _Primitives()
+    prim.push_cubic([wp(0, 0), wp(0, 0), wp(1, 1), wp(1, 1)])
+    prim.push_cubic([wp(1, 1), wp(1, 1), wp(1, 1), wp(1, 1)])
+    prim.push_cubic([wp(1, 1), wp(1, 1), wp(2, 2), wp(2, 2)])
+    segments = prim.into_segments()
+    assert len(segments.x) == 9
+    assert (np.diff(segments.x) > 0).all()
+    assert (np.diff(segments.y) > 0).all()
+    np.testing.assert_array_equal(segments.x, segments.y)
+    assert abs(segments.x[0] - 0.0) < 0.01 and abs(segments.y[0] - 0.0) < 0.01
+    assert abs(segments.x[8] - 2.0) < 0.01 and abs(segments.y[8] - 2.0) < 0.01
+
+
+def test_ring():
+    # `path.rs:1346-1377`: two closed contours; contour starts land exactly
+    # where the reference's do.
+    prim = _Primitives()
+    prim.push_cubic([wp(0, 2), wp(2, 2), wp(2, 2), wp(2, 0)])
+    prim.push_cubic([wp(2, 0), wp(2, -2), wp(2, -2), wp(0, -2)])
+    prim.push_cubic([wp(0, -2), wp(-2, -2), wp(-2, -2), wp(-2, 0)])
+    prim.push_cubic([wp(-2, 0), wp(-2, 2), wp(-2, 2), wp(0, 2)])
+    prim.push_contour()
+    prim.push_cubic([wp(0, 1), wp(-1, 1), wp(-1, 1), wp(-1, 0)])
+    prim.push_cubic([wp(-1, 0), wp(-1, -1), wp(-1, -1), wp(0, -1)])
+    prim.push_cubic([wp(0, -1), wp(1, -1), wp(1, -1), wp(1, 0)])
+    prim.push_cubic([wp(1, 0), wp(1, 1), wp(1, 1), wp(0, 1)])
+    segments = prim.into_segments()
+    assert len(segments.start_new_contour) == 30
+    assert int(np.sum(segments.start_new_contour)) == 2
+    assert segments.start_new_contour[16]
+    assert segments.start_new_contour[29]
+
+
+def test_ring_overlapping_start():
+    # `path.rs:1379-1410`: second contour starts at the first's start point.
+    prim = _Primitives()
+    prim.push_cubic([wp(0, 1), wp(-1, 1), wp(-1, 1), wp(-1, 0)])
+    prim.push_cubic([wp(-1, 0), wp(-1, -1), wp(-1, -1), wp(0, -1)])
+    prim.push_cubic([wp(0, -1), wp(1, -1), wp(1, -1), wp(1, 0)])
+    prim.push_cubic([wp(1, 0), wp(1, 1), wp(1, 1), wp(0, 1)])
+    prim.push_contour()
+    prim.push_cubic([wp(0, 1), wp(1, 1), wp(1, 1), wp(1, 2)])
+    prim.push_cubic([wp(1, 2), wp(1, 3), wp(1, 3), wp(0, 3)])
+    prim.push_cubic([wp(0, 3), wp(-1, 3), wp(-1, 3), wp(-1, 2)])
+    prim.push_cubic([wp(-1, 2), wp(-1, 1), wp(-1, 1), wp(0, 1)])
+    segments = prim.into_segments()
+    assert len(segments.start_new_contour) == 26
+    assert int(np.sum(segments.start_new_contour)) == 2
+    assert segments.start_new_contour[12]
+    assert segments.start_new_contour[25]
