@@ -83,7 +83,10 @@ def main():
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
-    ap.add_argument("--scene", default="paris", choices=["paris", "circles"])
+    ap.add_argument(
+        "--scene", default="paris",
+        choices=["paris", "circles", "spaceship"],
+    )
     ap.add_argument("--animate", action="store_true")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument(
@@ -122,6 +125,49 @@ def main():
             f"{time.time()-t0:.1f}s",
             file=sys.stderr,
         )
+
+    if args.scene == "spaceship":
+        # Damaged-tile animation config (BASELINE.md): per-frame transform/
+        # order mutations through the CACHED path, fetching pixels into a
+        # host buffer every frame — the incremental-update workload the
+        # reference's spaceship demo showcases.
+        from forma_tpu import Buffer, LinearLayout
+        from forma_tpu.demos.spaceship import Spaceship
+
+        comp = Composition()
+        ship = Spaceship(width=args.width, height=args.height)
+        ship.build(comp)
+        renderer = Renderer()
+        cache = renderer.create_buffer_layer_cache()
+        backing = np.zeros((args.height, args.width * 4), np.uint8)
+        buf = Buffer(
+            buffer=backing,
+            layout=LinearLayout(args.width, args.width * 4, args.height),
+            layer_cache=cache,
+        )
+        clear = Color(0.02, 0.02, 0.08, 1.0)
+        for _ in range(3):  # warm: compile + caps + cache priming
+            ship.step()
+            renderer.render_into(comp, buf, clear)
+        n = args.frames
+        t0 = time.time()
+        for _ in range(n):
+            ship.step()
+            renderer.render_into(comp, buf, clear)
+        dt = time.time() - t0
+        fps = n / dt
+        out = {
+            "metric": (
+                f"spaceship_{args.width}x{args.height}_damage_cached_fps"
+            ),
+            "value": round(fps, 3),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / 60.0, 4),
+        }
+        if goldens_ok is not None:
+            out["goldens_ok"] = goldens_ok
+        print(json.dumps(out))
+        return
 
     t0 = time.time()
     comp = Composition()

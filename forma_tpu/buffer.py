@@ -104,6 +104,13 @@ class Layout:
         tile-aligned sub-rect (`TileFill::{Full,...}` write paths)."""
         raise NotImplementedError
 
+    def write_tiles(self, buffer: np.ndarray, idx: np.ndarray, tiles: np.ndarray) -> None:
+        """Writes a compact set of damaged tiles: `idx[i]` is a tile index
+        (row-major over the tile grid), `tiles[i]` its pixels as u8
+        [TILE_HEIGHT, TILE_WIDTH*4].  Unlisted tiles are left untouched —
+        the write side of the reference's `TileWriteOp::None` fast path."""
+        raise NotImplementedError
+
 
 class LinearLayout(Layout):
     """Linear RGBA-strided buffer layout
@@ -140,6 +147,25 @@ class LinearLayout(Layout):
             region = buffer.reshape(h, -1)[y0:y1]
         if self._flusher is not None:
             self._flusher.flush(region)
+
+    def write_tiles(self, buffer: np.ndarray, idx: np.ndarray, tiles: np.ndarray) -> None:
+        from . import consts
+
+        th, tw = consts.TILE_HEIGHT, consts.TILE_WIDTH
+        h, w = self._height, self._width
+        tiles_x = -(-w // tw)
+        target = buffer.reshape(h, -1)[:, : w * 4].reshape(h, w, 4)
+        tiles4 = tiles.reshape(tiles.shape[0], th, tw, 4)
+        for t, px in zip(idx.tolist(), tiles4):
+            r, c = divmod(int(t), tiles_x)
+            y0, x0 = r * th, c * tw
+            y1, x1 = min(y0 + th, h), min(x0 + tw, w)
+            target[y0:y1, x0:x1] = px[: y1 - y0, : x1 - x0]
+        if self._flusher is not None and len(idx):
+            rs = np.asarray(idx) // tiles_x
+            y0 = int(rs.min()) * th
+            y1 = min((int(rs.max()) + 1) * th, h)
+            self._flusher.flush(buffer.reshape(h, -1)[y0:y1])
 
 
 class BufferLayerCache:

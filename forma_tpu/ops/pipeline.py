@@ -43,8 +43,15 @@ class Caps(NamedTuple):
     k: int = 4
 
 
-# Indices into the diagnostics vector.
-DIAG_VLINES, DIAG_RUNS, DIAG_VIRT, DIAG_K, DIAG_SEGS = range(5)
+# Indices into the diagnostics vector.  DIAG_DMG (number of changed tiles)
+# is meaningful only for cached renders; it reads 0 elsewhere.
+DIAG_VLINES, DIAG_RUNS, DIAG_VIRT, DIAG_K, DIAG_SEGS, DIAG_DMG = range(6)
+
+# Static capacity of the compact damaged-tile readback (bytes fetched per
+# cached frame = DMG_CAP * TILE_HEIGHT * TILE_WIDTH * C).  NOT a growth
+# bucket: frames with more damage fall back to a full-frame fetch (the frame
+# is on device either way), so overflow costs bandwidth, never a recompile.
+DMG_CAP = 1024
 
 
 def _unit_tiles(key_u, u_valid, tiles_x, n_tiles):
@@ -205,6 +212,8 @@ def _core(
     )
     packed = _srgb.pack_srgb(frame, channels)
 
+    n_dmg = jnp.int32(0)
+    dmg = None
     if cache is not None:
         # Unchanged AND out-of-crop tiles re-emit the previous frame's
         # pixels, so the returned frame is directly the next cache state
@@ -220,6 +229,32 @@ def _core(
         )
         packed = jnp.where(pix_unch[:, :, None], prev_frame, packed)
 
+        # Damage-aware readback: compact the changed tiles so the host can
+        # fetch kilobytes instead of the whole frame.  This is the transfer
+        # analog of the reference's TileWriteOp::None — unchanged tiles are
+        # simply never written to the user's buffer
+        # (`layer_workbench/mod.rs:280-342` break path).  Tiles beyond
+        # DMG_CAP aren't gathered; the caller falls back to the full frame.
+        changed = ~reemit  # [n_tiles]
+        n_dmg = jnp.sum(changed, dtype=jnp.int32)
+        pos = jnp.cumsum(changed.astype(jnp.int32)) - 1
+        tgt = jnp.where(changed & (pos < DMG_CAP), pos, DMG_CAP)
+        dmg_idx = (
+            jnp.full((DMG_CAP + 1,), n_tiles, jnp.int32)
+            .at[tgt]
+            .set(jnp.arange(n_tiles, dtype=jnp.int32), mode="drop")[:DMG_CAP]
+        )
+        tiles8 = (
+            packed.reshape(
+                rows, consts.TILE_HEIGHT, tiles_x,
+                consts.TILE_WIDTH * len(channels),
+            )
+            .transpose(0, 2, 1, 3)
+            .reshape(n_tiles, consts.TILE_HEIGHT, -1)
+        )
+        dmg_tiles = tiles8[jnp.minimum(dmg_idx, n_tiles - 1)]
+        dmg = (dmg_idx, dmg_tiles)
+
     diag = jnp.stack(
         [
             v_total.astype(jnp.int32),
@@ -227,10 +262,11 @@ def _core(
             rd["v_total"].astype(jnp.int32),
             k_needed.astype(jnp.int32),
             total_segs,
+            n_dmg,
         ]
     )
     if cache is not None:
-        return packed, diag, counts
+        return packed, diag, counts, dmg
     return packed, diag
 
 
@@ -281,7 +317,9 @@ def render_frame_cached(
     contribute nothing to the fold depth.  With a crop, out-of-crop tiles
     also re-emit `prev_frame` (the cache survives cropped renders, matching
     `cpu/renderer.rs:38-53`).  Returns (u8 frame, diag, per-tile unit counts
-    to store for the next frame)."""
+    to store for the next frame, (dmg_idx [DMG_CAP], dmg_tiles
+    [DMG_CAP, TILE_HEIGHT, TILE_WIDTH*C]) — the first diag[DIAG_DMG] entries
+    are the changed tiles' indices/pixels for compact host readback)."""
     return _core(
         px, py, line_slot, g_slot, g_valid, g_t, g_has_t, st, clear,
         jnp.int32(0), width, height, rows, tiles_x, caps, features, channels,

@@ -64,6 +64,7 @@ class Renderer:
         self._cache_slots = 0  # 32-bit set (`SmallBitSet`, renderer.rs:67-73)
         self.last_diag: Optional[np.ndarray] = None
         self.last_timings = None  # set by forma_tpu.profiling.profile_frame
+        self._last_dmg = None  # compact damaged-tile readback (idx, tiles)
 
     def profile_frame(self, composition, width, height, clear_color, channels=None):
         """Per-stage `Timings` (the `gpu::Timings` analog) via a profiling
@@ -325,13 +326,14 @@ class Renderer:
             y0 = y0t * _c.TILE_HEIGHT
             y1 = min(y1t * _c.TILE_HEIGHT, h)
             if cache is not None:
-                frame, _ = self._render_device_cached(
+                frame, d = self._render_device_cached(
                     composition, cache, w, h, clear_color, channels,
                     crop=(y0t, y1t, crop.hor.start, crop.hor.stop),
                 )
-                img = np.asarray(frame)
-                layout.write(
-                    buffer.buffer, img[y0:y1, x0:x1], rect=(y0, y1, x0, x1)
+                # Out-of-crop tiles re-emit cached pixels so they are never
+                # in the damage set; only painted in-crop tiles write back.
+                self._write_back(
+                    buffer, layout, frame, d, h, w, rect=(y0, y1, x0, x1)
                 )
                 return
             frame, _ = self.render_device(
@@ -343,11 +345,34 @@ class Renderer:
             return
         if cache is None:
             frame, _ = self.render_device(composition, w, h, clear_color, channels)
+            layout.write(buffer.buffer, np.asarray(frame)[:h, :w])
+            return
+        frame, d = self._render_device_cached(
+            composition, cache, w, h, clear_color, channels
+        )
+        self._write_back(buffer, layout, frame, d, h, w)
+
+    def _write_back(self, buffer, layout, frame, d, h, w, rect=None):
+        """Damage-aware host write: only changed tiles' pixels were fetched
+        from the device and only they are written — the write/transfer side
+        of the reference's `TileWriteOp::None` contract (a layer cache
+        assumes the same buffer is presented every frame,
+        `layer_workbench/mod.rs:280-342` break path).  Falls back to a full
+        frame (or crop-rect) fetch when damage exceeds `DMG_CAP` tiles."""
+        n_dmg = int(d[_pipe.DIAG_DMG]) if d is not None else _pipe.DMG_CAP + 1
+        if n_dmg == 0:
+            return  # fully unchanged: the buffer is not touched at all
+        dmg = self._last_dmg
+        if dmg is not None and n_dmg <= _pipe.DMG_CAP:
+            idx, tiles = dmg
+            layout.write_tiles(buffer.buffer, idx[:n_dmg], tiles[:n_dmg])
+            return
+        if rect is None:
+            layout.write(buffer.buffer, np.asarray(frame)[:h, :w])
         else:
-            frame, _ = self._render_device_cached(
-                composition, cache, w, h, clear_color, channels
-            )
-        layout.write(buffer.buffer, np.asarray(frame)[:h, :w])
+            y0, y1, x0, x1 = rect
+            img = np.asarray(frame)
+            layout.write(buffer.buffer, img[y0:y1, x0:x1], rect=rect)
 
     def _render_device_cached(
         self, composition, cache, width, height, clear_color, channels,
@@ -384,6 +409,8 @@ class Renderer:
             if self.last_diag is not None:
                 self.last_diag = self.last_diag.copy()
                 self.last_diag[_pipe.DIAG_K] = 0  # nothing painted
+                self.last_diag[_pipe.DIAG_DMG] = 0  # nothing to write back
+            self._last_dmg = None
             return cache.prev_frame, self.last_diag
 
         px, py, line_slot, uniq = self._prepare_geometry(composition)
@@ -433,8 +460,10 @@ class Renderer:
         if crop is not None:
             crop_y_t = (jnp.int32(crop[0]), jnp.int32(crop[1]))
             crop_x_t = (jnp.int32(crop[2]), jnp.int32(crop[3]))
+        import jax
+
         for _ in range(8):
-            frame, diag, counts = _pipe.render_frame_cached(
+            frame, diag, counts, dmg = _pipe.render_frame_cached(
                 px, py, line_slot, g_slot, g_valid, g_t, g_has_t, st, clear,
                 prev_frame, prev_counts, jnp.asarray(st_unchanged),
                 jnp.asarray(cache_ok),
@@ -442,7 +471,10 @@ class Renderer:
                 self._caps, st_host.features, chans,
                 crop_x=crop_x_t, crop_y=crop_y_t,
             )
-            d = np.asarray(diag)
+            # One host round trip fetches diagnostics AND the compact
+            # damaged-tile buffers (≤ DMG_CAP KiB) so `render_into` never
+            # has to pull the whole frame for incremental updates.
+            d, self._last_dmg = jax.device_get((diag, dmg))
             caps = self._caps
             if (
                 d[_pipe.DIAG_VLINES] <= caps.vline
