@@ -24,6 +24,7 @@ gathers ~8ns each):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple, Tuple
 
@@ -33,6 +34,31 @@ import jax.numpy as jnp
 from .. import consts
 from .rasterize import SENTINEL, TX_BITS
 from .runs import _first_of_group, unpack_grid
+
+
+def _paint_backend() -> str:
+    """Per-pixel fold backend: "tree" (chunked affine-composition fold,
+    Over-only frames), "chunk" (chunked schedule + batched gathers with
+    exact sequential application) or "wave" (sequential wave fold, the
+    general path).  FORMA_PAINT=wave|tree|chunk overrides for A/B benches."""
+    env = os.environ.get("FORMA_PAINT")
+    if env in ("wave", "tree", "chunk"):
+        return env
+    # "wave" wins on TPU — the tree/chunk variants are RECORDED NEGATIVES
+    # (paris@1080p paint stage, device_get-fenced: wave 30 ms, chunked
+    # sequential 48 ms, chunked affine-tree 64 ms; see docs/ARCHITECTURE.md).
+    return "wave"
+
+
+# The tree fold's FIXED chunk grid: (band_lo, band_hi, chunk_size).  Chunk
+# boundaries are ABSOLUTE positions in k, so a tile's composition grouping
+# is a function of its own unit list only — never of the wave schedule or
+# prefix sizes.  That keeps sharded == single-chip and cached == fresh
+# renders bit-identical even though their depth distributions (and hence
+# wave bounds) differ.  Chunks grow with k because the tile population
+# shrinks with k: most tiles are shallow (fine chunks bound their dead
+# work to <2x) while the few deep tiles want few big sequential steps.
+TREE_BANDS = ((0, 8, 2), (8, 16, 4), (16, 32, 8), (32, 64, 16), (64, None, 32))
 
 TH = consts.TILE_HEIGHT
 TW = consts.TILE_WIDTH
@@ -678,28 +704,170 @@ def paint(
         bounds.append(jnp.minimum(depth_sorted[nxt], upper))
     bounds.append(upper)
 
-    # Manual 2x unroll: each step's real work is small (one [p, 256] row
-    # gather + elementwise), so the fori's fixed per-iteration overhead is a
-    # large fraction of paint time at depth ~250.  Bounds are traced, so
-    # fori_loop's own `unroll` is unavailable; dead tail steps no-op through
-    # the `live` mask (bit-exact: src_a becomes 0).
-    UNROLL = 2  # 4 measured within noise (10.05 vs 10.15 FPS); tail dead-steps offset the loop savings
-    state = dst0 + clip_state0
-    for i, pfx in enumerate(prefixes):
-        sub = jax.tree_util.tree_map(lambda x: x[:pfx], state)
-        lo = bounds[i]
-        hi = jnp.maximum(bounds[i + 1], bounds[i])
-
-        def body(it, s, _p=pfx, _lo=lo, _hi=hi):
-            for u in range(UNROLL):
-                k = _lo + it * UNROLL + u
-                s = step_wave(_p, k, s, live=k < _hi)
-            return s
-
-        sub = jax.lax.fori_loop(0, (hi - lo + UNROLL - 1) // UNROLL, body, sub)
-        state = jax.tree_util.tree_map(
-            lambda full, part: full.at[: part.shape[0]].set(part), state, sub
+    # Over-only frames (src-over is affine in dst: new = dst*(1-src_a) +
+    # fill*src_a) take the TREE fold: chunks of TREE_C consecutive k-slots
+    # compose into ONE affine map per pixel by log2(TREE_C) pair-compose
+    # levels, then apply to dst once — ~C× fewer sequential fori steps, and
+    # each step is large enough to occupy the VPU.  Identity maps (m=1, b=0)
+    # make absent slots exact no-ops, and chunks align to absolute multiples
+    # of TREE_C, so results don't depend on the wave schedule (sharded ==
+    # single-chip, cached == fresh stay bit-identical).  Frames with
+    # non-Over modes, clips (sequential mask state) or textures (atlas
+    # gathers would pay per dead slot) use the wave fold.
+    backend = _paint_backend()
+    use_tree = (
+        backend in ("tree", "chunk")
+        and features.blend_modes == (0,)
+        and not features.has_clip
+        and not features.has_texture
+    )
+    seq_apply = backend == "chunk"
+    if use_tree:
+        # Everything stays in [..., 256] layout: 256 in the minor dim is two
+        # full 128-lane groups, whereas a [..., 16, 16] shape pads its minor
+        # 16 up to 128 lanes — 8x wasted memory traffic on every
+        # intermediate (the chunk bodies materialise many of them).
+        CMAX = max(s for (_, _, s) in TREE_BANDS)
+        state = tuple(d.reshape(n_tiles, TH * TW) for d in dst0)
+        table_ktp = jnp.concatenate(
+            [table_kt, jnp.full((CMAX, n_tiles), -1, jnp.int32)], axis=0
         )
+        lane16 = jnp.arange(TH * TW, dtype=jnp.int32) % TW  # x within row
+
+        def align(b):
+            # Next chunk-grid boundary at or after b (traced).
+            s = jnp.int32(TREE_BANDS[-1][2])
+            for blo, bhi, bs in reversed(TREE_BANDS[:-1]):
+                s = jnp.where(b <= bhi, bs, s)
+            return ((b + s - 1) // s) * s
+
+        bounds_t = [jnp.int32(0)] + [align(b) for b in bounds[1:]]
+
+        def chunk_fold(it, dst, _p, _lo, C):
+            k0 = _lo + it * C
+            u = jax.lax.dynamic_slice_in_dim(table_ktp, k0, C, axis=0)[:, :_p]
+            present = u >= 0  # [C, p]
+            if skip_p is not None:
+                present &= ~skip_p[None, :_p]
+            uc = (jnp.maximum(u, 0) & 0xFFFFFF).reshape(-1)  # [C*p]
+
+            m = umeta[uc]  # [C*p, 14]
+            src = m[:, M_SRC].astype(jnp.int32)
+            virt = (m[:, M_VFLAGS].astype(jnp.int32) & FLAG_VIRTUAL) != 0
+            g = grid[src]  # [C*p, 256]
+            area, cover = unpack_grid(g)
+            area = jnp.where(virt[:, None], 0, area).reshape(C, _p, TH * TW)
+            cover = jnp.where(virt[:, None], 0, cover).reshape(C, _p, TH * TW)
+            # Exclusive prefix sum of cover along x within each 16-lane row:
+            # log2(16) masked shift-adds, integer-exact, no [.., 16, 16]
+            # relayout.
+            acc = cover
+            for s in (1, 2, 4, 8):
+                acc = acc + jnp.where(
+                    lane16 >= s, jnp.roll(acc, s, axis=-1), 0
+                )
+            carry = jnp.repeat(carry_u[uc], TW, axis=-1).reshape(
+                C, _p, TH * TW
+            )
+            acc = carry + (acc - cover)
+            da = consts.PIXEL_DOUBLE_WIDTH * acc + area
+            cov = _coverage(
+                da, (m[:, M_FR] == 1.0).reshape(C, _p)[..., None]
+            )
+            draw = present & (m[:, M_FUNC] == 0.0).reshape(C, _p)
+            cov = cov * draw[..., None]
+
+            fill = [m[:, M_R + ch].reshape(C, _p, 1) for ch in range(4)]
+            if features.has_gradient:
+                si = m[:, M_SI].astype(jnp.int32)
+                xgb = jnp.broadcast_to(
+                    xg[None, :_p], (C, _p, TH, TW)
+                ).reshape(C * _p, TH, TW)
+                ygb = jnp.broadcast_to(
+                    yg[None, :_p], (C, _p, TH, TW)
+                ).reshape(C * _p, TH, TW)
+                gf = _gradient_at(st_grad[si], st_stops[si], xgb, ygb)
+                selg = (m[:, M_FT] == 1.0).reshape(C, _p, 1)
+                fill = [
+                    jnp.where(selg, gg.reshape(C, _p, TH * TW), f)
+                    for gg, f in zip(gf, fill)
+                ]
+
+            src_a = fill[3] * cov  # [C, p, 256]
+            if seq_apply:
+                # Exact sequential application (the wave fold's op order) —
+                # isolates the benefit of batched gathers / fewer fori
+                # iterations from the affine-composition arithmetic.
+                for kk in range(C):
+                    sa = src_a[kk]
+                    inv_dst_a_sa = (1.0 - dst[3]) * sa
+                    dst_a_sa = dst[3] * sa
+                    inv_sa = 1.0 - sa
+                    dst = tuple(
+                        dst[ch] * inv_sa
+                        + (fill[ch][kk] * inv_dst_a_sa + fill[ch][kk] * dst_a_sa)
+                        for ch in range(3)
+                    ) + (dst[3] * inv_sa + sa,)
+                return dst
+
+            # Pair-compose adjacent k (left = lower k, applied first):
+            # (m, b) := (m_l*m_r, b_l*m_r + b_r).
+            mm = 1.0 - src_a
+            bb = [fill[ch] * src_a for ch in range(3)] + [src_a]
+            while mm.shape[0] > 1:
+                rm = mm[1::2]
+                bb = [b[0::2] * rm + b[1::2] for b in bb]
+                mm = mm[0::2] * rm
+            return tuple(dst[ch] * mm[0] + bb[ch][0] for ch in range(4))
+
+        for i, pfx in enumerate(prefixes):
+            sub = jax.tree_util.tree_map(lambda x: x[:pfx], state)
+            lo = jnp.maximum(bounds_t[i], 0)
+            hi = jnp.maximum(bounds_t[i + 1], lo)
+
+            # Walk the wave's [lo, hi) range band by band; each band runs
+            # its own fori over static-size chunks.  lo/hi are grid-aligned
+            # so band-clamped endpoints stay multiples of the band's size.
+            for blo, bhi, cs in TREE_BANDS:
+                if blo >= k_slots:
+                    break
+                bhi_eff = k_slots if bhi is None else min(bhi, k_slots)
+                bhi_al = ((bhi_eff + cs - 1) // cs) * cs
+                wlo = jnp.clip(lo, blo, bhi_al)
+                whi = jnp.clip(hi, blo, bhi_al)
+
+                def body(it, s, _p=pfx, _lo=wlo, _cs=cs):
+                    return chunk_fold(it, s, _p, _lo, _cs)
+
+                sub = jax.lax.fori_loop(0, (whi - wlo) // cs, body, sub)
+            state = jax.tree_util.tree_map(
+                lambda full, part: full.at[: part.shape[0]].set(part),
+                state, sub,
+            )
+        state = tuple(d.reshape(n_tiles, TH, TW) for d in state)
+    else:
+        # Manual 2x unroll: each step's real work is small (one [p, 256] row
+        # gather + elementwise), so the fori's fixed per-iteration overhead
+        # is a large fraction of paint time at depth ~250.  Bounds are
+        # traced, so fori_loop's own `unroll` is unavailable; dead tail
+        # steps no-op through the `live` mask (bit-exact: src_a becomes 0).
+        UNROLL = 2  # 4 measured within noise (10.05 vs 10.15 FPS)
+        state = dst0 + clip_state0
+        for i, pfx in enumerate(prefixes):
+            sub = jax.tree_util.tree_map(lambda x: x[:pfx], state)
+            lo = bounds[i]
+            hi = jnp.maximum(bounds[i + 1], bounds[i])
+
+            def body(it, s, _p=pfx, _lo=lo, _hi=hi):
+                for u in range(UNROLL):
+                    k = _lo + it * UNROLL + u
+                    s = step_wave(_p, k, s, live=k < _hi)
+                return s
+
+            sub = jax.lax.fori_loop(0, (hi - lo + UNROLL - 1) // UNROLL, body, sub)
+            state = jax.tree_util.tree_map(
+                lambda full, part: full.at[: part.shape[0]].set(part), state, sub
+            )
     dst = state[:4]
 
     # Scalar color fold for the solid tiles (same blend formulas on
