@@ -580,6 +580,14 @@ def paint(
     carr_cat = jnp.concatenate([carry_in_s, carry_after_s], axis=0)
     cidx = jnp.minimum(src2_u, run_cap - 1) + jnp.where(virt_all, run_cap, 0)
     carry_u = carr_cat[cidx]  # [u_cap, 16] i32
+    # Fold-step gathers cost per INDEX, so meta and carry ride ONE [u_cap,
+    # 30] i32 matrix (f32 meta bitcast to i32 bits — an exact round-trip;
+    # gathers never flush denormals, unlike the f32 compute path) and each
+    # wave step gathers it once instead of twice (~345k total step rows at
+    # paris scale = ~2.7 ms of pure gather cost removed).
+    metacarry = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(umeta, jnp.int32), carry_u], axis=1
+    )  # [u_cap, 30] i32
 
     shape = (n_tiles, TH, TW)
     # The *0 terms tie the fori_loop carry's initial value to row_lo so its
@@ -609,8 +617,9 @@ def paint(
             present &= ~skip_p[:p]
         uc = jnp.maximum(u, 0) & 0xFFFFFF  # strip the not-solid table bit
 
-        # Three row gathers per step: unit meta, carries, packed grid.
-        m = umeta[uc]  # [p, 14] f32
+        # Two row gathers per step: consolidated meta|carry, packed grid.
+        mc = metacarry[uc]  # [p, 30] i32
+        m = jax.lax.bitcast_convert_type(mc[:, :14], jnp.float32)
         layer = m[:, M_LAYER].astype(jnp.int32)
         src = m[:, M_SRC].astype(jnp.int32)
         vflags = m[:, M_VFLAGS].astype(jnp.int32)
@@ -620,7 +629,7 @@ def paint(
         area, cover = unpack_grid(g)
         area = jnp.where(virt[:, None], 0, area).reshape(shape)
         cover = jnp.where(virt[:, None], 0, cover).reshape(shape)
-        carry = carry_u[uc]  # [T, 16] i32
+        carry = mc[:, 14:30]  # [T, 16] i32
 
         exc = jnp.cumsum(cover, axis=2) - cover
         acc = carry[:, :, None] + exc

@@ -330,12 +330,18 @@ def build_units(
     # starts = cumsum(span) - span is nondecreasing in run index, so the
     # owner's start IS the prefix-max of scattered starts — a [v_cap]-sized
     # gather instead of a second run_cap-index scatter (~2 ms at paris).
-    base = starts[owner]
+    # ONE 4-wide row gather serves every per-owner column (gathers cost per
+    # INDEX on TPU, not per byte — three separate [v_cap] gathers here were
+    # ~2.3 ms each at paris scale); key2_s rides as an i32 bit pattern.
+    own4 = jnp.stack(
+        [starts, tx_s, gap_flags_s,
+         jax.lax.bitcast_convert_type(key2_s, jnp.int32)], axis=1
+    )[owner]  # [v_cap, 4] i32
+    base = own4[:, 0]
     off = vj - base
-    own2 = jnp.stack([tx_s, gap_flags_s], axis=1)[owner]  # one row gather
-    v_tx = own2[:, 0] + 1 + off
-    v_flags = own2[:, 1] | 1  # FLAG_VIRTUAL
-    v_key2 = key2_s[owner]
+    v_tx = own4[:, 1] + 1 + off
+    v_flags = own4[:, 2] | 1  # FLAG_VIRTUAL
+    v_key2 = jax.lax.bitcast_convert_type(own4[:, 3], jnp.uint32)
     v_rowb = v_key2 >> 21
     v_layer = (v_key2 & _LAYER_MASK).astype(jnp.uint32)
     v_key = jnp.where(
