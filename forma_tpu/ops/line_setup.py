@@ -48,8 +48,31 @@ def line_setup(
 ):
     """Returns (params f32 [L, 14], slots i32 [L], lengths i32 [L],
     vline_ends u32 [L] inclusive-cumsum of per-line virtual-line counts)."""
-    p0x, p0y = px[:-1], py[:-1]
-    p1x, p1y = px[1:], py[1:]
+    return line_setup_pairs(
+        px[:-1], py[:-1], px[1:], py[1:], line_slot,
+        g_slot, g_valid, g_t, g_has_t, width, height, k_seg,
+    )
+
+
+def line_setup_pairs(
+    p0x,  # f32 [L] line start x
+    p0y,  # f32 [L] line start y
+    p1x,  # f32 [L] line end x
+    p1y,  # f32 [L] line end y
+    line_slot,  # i32 [L]  index into geometry tables, -1 = no line
+    g_slot,
+    g_valid,
+    g_t,
+    g_has_t,
+    width: int,
+    height: int,
+    k_seg: int = 8,
+):
+    """`line_setup` on explicit endpoint pairs instead of a point chain.
+
+    The line-sharded multi-chip path round-robin-permutes lines across
+    shards for spatial load balance, which breaks the [L+1] chain adjacency
+    — each shard gets its own (p0, p1) pair arrays instead."""
 
     gi = jnp.maximum(line_slot, 0)
     # ONE [L]-index row gather for all per-geometry data (gathers cost per

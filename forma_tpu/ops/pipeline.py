@@ -62,6 +62,18 @@ def _unit_tiles(key_u, u_valid, tiles_x, n_tiles):
     return jnp.where(u_valid, rowb * tiles_x + txu, n_tiles)
 
 
+def _slot_bits(st, rows: int, tiles_x: int) -> int:
+    """Bits for the layer slot in the packed single-u32 sort key; 0 when
+    [row | tx | slot] cannot fit 31 bits (two-key fallback)."""
+    sl = st["orders"].shape[0]
+    slot_bits = max((sl - 1).bit_length(), 1)
+    row_bits = (rows + 1).bit_length()
+    tx_bits = max((tiles_x + 1).bit_length(), 1)
+    if row_bits + tx_bits + slot_bits > 31:
+        return 0
+    return slot_bits
+
+
 def _core(
     px, py, line_slot,
     g_slot, g_valid, g_t, g_has_t,
@@ -81,19 +93,33 @@ def _core(
     total_segs = jnp.sum(lengths, dtype=jnp.int32)
 
     # Pack the sort key into one u32 when [row | tx | slot] fits.
-    sl = st["orders"].shape[0]
-    slot_bits = max((sl - 1).bit_length(), 1)
-    row_bits = (rows + 1).bit_length()
-    tx_bits = max((tiles_x + 1).bit_length(), 1)
-    if row_bits + tx_bits + slot_bits > 31:
-        slot_bits = 0  # fall back to the two-key sort
     key_hi, key_lo, payload = _raster.rasterize_sort(
         params, slots, lengths, vline_ends,
         jnp.minimum(v_total, jnp.uint32(caps.vline)),
         caps.vline, K_SEG, rows, tiles_x, row_lo,
-        slot_bits=slot_bits,
+        slot_bits=_slot_bits(st, rows, tiles_x),
+    )
+    return _back(
+        key_hi, key_lo, payload, v_total, total_segs,
+        st, clear, row_lo, rows, tiles_x, caps, features, channels,
+        cull, cache, crop_x, crop_y,
     )
 
+
+def _back(
+    key_hi, key_lo, payload,  # sorted segment stream (shard-local rows)
+    v_total, total_segs,  # diagnostics scalars from the front half
+    st, clear, row_lo,
+    rows: int, tiles_x: int,
+    caps: Caps, features: Features, channels,
+    cull: bool = True,
+    cache=None,
+    crop_x=None,
+    crop_y=None,
+):
+    """Everything after the segment sort: runs, carries, units, optimizer
+    passes, paint, sRGB.  Split out so the line-sharded multi-chip path can
+    interpose the all_to_all segment exchange between sort halves."""
     run_id, num_runs, new_run = _runs.extract_runs(key_hi, key_lo)
 
     st_opaque = (
@@ -370,6 +396,149 @@ def render_frame_sharded(
         out_specs=(P("rows"), P()),
         check_vma=False,
     )(px, py, line_slot, g_slot, g_valid, g_t, g_has_t, st, clear)
+
+
+# Extra diagnostics entry for the line-sharded path: the largest per-
+# (source, destination) exchange block actually needed (vs the static xcap).
+DIAG_XPAIR = 6
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "rows", "tiles_x", "caps", "features", "channels",
+        "mesh", "xcap", "cull",
+    ),
+)
+def render_frame_sharded_lines(
+    p0x, p0y, p1x, p1y, line_slot,  # sharded [L] line-endpoint pair arrays
+    g_slot, g_valid, g_t, g_has_t,
+    st, clear,
+    width: int, height: int, rows: int, tiles_x: int,
+    caps: Caps, features: Features, channels, mesh,
+    xcap: int,  # per-(src, dst) exchange block capacity (multiple of 128)
+    cull: bool = True,
+):
+    """Fully work-sharded render: LINES shard across chips (not just the
+    framebuffer), so line setup, virtual-line expansion, the ff64 emit AND
+    the segment sort all scale ~1/N — the row-replicated
+    `render_frame_sharded` repeats that whole front half on every chip.
+
+    Per shard: rasterize own lines with GLOBAL tile rows, sort locally
+    (which groups segments by destination row band, contiguously and
+    pre-masked), slice the per-destination blocks, `all_to_all` them over
+    ICI, re-bias rows to shard-local, and sort the received ~S/N segments.
+    The back half (runs/carries/units/paint) is unchanged and was already
+    1/N (`tools/shard_scaling_probe.py`).
+
+    `rows` is the per-shard tile-row count; the frame shards by rows.
+    Requires the packed single-u32 key (raises if [row|tx|slot] exceeds 31
+    bits — such scenes fall back to `render_frame_sharded`).
+    Diagnostics gain DIAG_XPAIR: the max per-(src, dst) block population,
+    to grow `xcap` on overflow (oversubscribed blocks drop segments, so the
+    frame is invalid until the growth loop converges — the same contract as
+    every other capacity bucket)."""
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.devices.size
+    rows_total = rows * n
+    slot_bits = _slot_bits(st, rows_total, tiles_x)
+    if slot_bits == 0:
+        raise ValueError(
+            "line-sharded path needs the packed u32 key; "
+            "use render_frame_sharded"
+        )
+    tx_bits = max((tiles_x + 1).bit_length(), 1)
+    # A shard can never send more than its own segment capacity to one
+    # destination, so xcap is bounded by it (also keeps dynamic_slice legal).
+    xcap = min(xcap, caps.vline * K_SEG)
+    assert xcap % 128 == 0, "xcap must be a multiple of 128"
+
+    def shard_fn(p0x, p0y, p1x, p1y, line_slot,
+                 g_slot, g_valid, g_t, g_has_t, st, clear):
+        shard = jax.lax.axis_index("rows").astype(jnp.int32)
+        row_lo = shard * rows
+
+        # Front half over OWN lines, tile rows kept global for routing.
+        params, slots, lengths, vline_ends = _ls.line_setup_pairs(
+            p0x, p0y, p1x, p1y, line_slot,
+            g_slot, g_valid, g_t, g_has_t, width, height, k_seg=K_SEG,
+        )
+        v_total = vline_ends[-1]
+        segs_own = jnp.sum(lengths, dtype=jnp.int32)
+        packed, payload = _raster._expand_emit_packed(
+            params, lengths, vline_ends,
+            jnp.minimum(v_total, jnp.uint32(caps.vline)),
+            caps.vline, K_SEG, rows_total, tiles_x, jnp.int32(0),
+            slot_bits, tx_bits,
+        )
+        # Local sort: ascending key = ascending global row = grouped by
+        # destination shard, each group internally sorted; sentinels last.
+        packed, payload = jax.lax.sort(
+            (packed, payload), num_keys=1, is_stable=False
+        )
+
+        # Destination shard of each segment (tile rows band-partition).
+        rowb = (packed >> (slot_bits + tx_bits)).astype(jnp.int32)
+        valid = packed != _raster.SENTINEL
+        dst = jnp.where(valid, (rowb - 1) // rows, n)
+        # Per-destination population in one compare-reduce (no per-element
+        # scatter: [S_loc, n] bool then a column sum).
+        counts = jnp.sum(
+            dst[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :],
+            axis=0, dtype=jnp.int32,
+        )  # [n]
+        starts = jnp.cumsum(counts) - counts
+        max_pair = jnp.max(counts)
+
+        # Sorted → group d is the contiguous slice [starts[d], +counts[d]);
+        # n dynamic slices (contiguous DMAs) build the exchange blocks.
+        s_loc = packed.shape[0]
+        zero_payload = jnp.uint32((1024 << 6) | 16)
+        blk_k = []
+        blk_p = []
+        for d in range(n):
+            start = jnp.minimum(starts[d], s_loc - xcap)
+            kk = jax.lax.dynamic_slice(packed, (start,), (xcap,))
+            pp = jax.lax.dynamic_slice(payload, (start,), (xcap,))
+            gidx = start + jnp.arange(xcap, dtype=jnp.int32)
+            keep = (gidx >= starts[d]) & (gidx < starts[d] + counts[d])
+            blk_k.append(jnp.where(keep, kk, _raster.SENTINEL))
+            blk_p.append(jnp.where(keep, pp, zero_payload))
+        blk_k = jnp.stack(blk_k)  # [n, xcap]
+        blk_p = jnp.stack(blk_p)
+
+        # The exchange: row d of the result is the block shard d sent here.
+        recv_k = jax.lax.all_to_all(blk_k, "rows", 0, 0).reshape(-1)
+        recv_p = jax.lax.all_to_all(blk_p, "rows", 0, 0).reshape(-1)
+
+        # Re-bias rows to shard-local and order the received ~S/N segments.
+        adj = (row_lo.astype(jnp.uint32)) << (slot_bits + tx_bits)
+        recv_k = jnp.where(recv_k == _raster.SENTINEL, recv_k, recv_k - adj)
+        recv_k, recv_p = jax.lax.sort(
+            (recv_k, recv_p), num_keys=1, is_stable=False
+        )
+        key_hi, key_lo = _raster.unpack_packed_keys(recv_k, slot_bits, tx_bits)
+
+        frame, diag = _back(
+            key_hi, key_lo, recv_p,
+            v_total, jax.lax.psum(segs_own, "rows"),
+            st, clear, row_lo, rows, tiles_x, caps, features, channels, cull,
+        )
+        diag = jnp.concatenate([diag, max_pair[None]])
+        return frame, jax.lax.pmax(diag, "rows")
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P("rows"), P("rows"), P("rows"), P("rows"), P("rows"),
+            P(), P(), P(), P(), P(), P(),
+        ),
+        out_specs=(P("rows"), P()),
+        check_vma=False,
+    )(p0x, p0y, p1x, p1y, line_slot,
+      g_slot, g_valid, g_t, g_has_t, st, clear)
 
 
 def style_tables_device(st) -> dict:

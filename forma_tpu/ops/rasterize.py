@@ -218,6 +218,57 @@ def _emit_two_key(col, j, v_live, k_seg: int, rows: int, tiles_x: int, row_lo):
     return key_hi, key_lo, payload
 
 
+def _expand_emit_packed(
+    params, lengths, vline_ends, v_total,
+    v_cap: int, k_seg: int, rows: int, tiles_x: int, row_lo,
+    slot_bits: int, tx_bits: int,
+):
+    """Virtual-line expansion (Pallas kernel on TPU, XLA elsewhere) + packed
+    single-u32 emit; returns flat unsorted (packed, payload) u32
+    [v_cap * k_seg].  Shared by `rasterize_sort` and the line-sharded
+    multi-chip path (which exchanges segments across chips BEFORE sorting)."""
+    L = params.shape[0]
+    if _expand_backend() == "pallas":
+        from .expand_pallas import expand_params_pallas
+
+        iota_v = jnp.arange(v_cap, dtype=jnp.uint32)
+        v_live = iota_v < v_total
+        PT, j = expand_params_pallas(params, lengths > 0, vline_ends, v_cap)
+        col = lambda i: PT[i]  # noqa: E731
+    else:
+        iota_v = jnp.arange(v_cap, dtype=jnp.uint32)
+        v_live = iota_v < v_total
+        ends = jnp.minimum(vline_ends, jnp.uint32(v_cap)).astype(jnp.int32)
+        line_id = jnp.cumsum(
+            jnp.zeros(v_cap + 1, jnp.int32).at[ends].add(1, mode="drop")[:-1]
+        )
+        base = jax.lax.cummax(
+            jnp.zeros(v_cap + 1, jnp.uint32)
+            .at[ends]
+            .max(vline_ends, mode="drop")[:-1]
+        )
+        li = jnp.minimum(line_id, L - 1)
+        j = (iota_v - base).astype(jnp.int32)
+        P = params[li]  # [V, 16]
+        col = lambda i: P[:, i]  # noqa: E731
+
+    packed, payload = _emit_packed(
+        col, j, v_live, k_seg, rows, tiles_x, row_lo, slot_bits, tx_bits
+    )
+    return packed.reshape(-1), payload.reshape(-1)
+
+
+def unpack_packed_keys(packed, slot_bits: int, tx_bits: int):
+    """Packed [rowb | txb | slot] u32 -> (key_hi, key_lo) in the canonical
+    (rowb << TX_BITS | txb, layer-slot) form the runs stage consumes."""
+    invalid = packed == SENTINEL
+    txb = (packed >> slot_bits) & jnp.uint32((1 << tx_bits) - 1)
+    rowb = packed >> (slot_bits + tx_bits)
+    key_hi = jnp.where(invalid, SENTINEL, (rowb << TX_BITS) | txb)
+    key_lo = jnp.where(invalid, 0, packed & jnp.uint32((1 << slot_bits) - 1))
+    return key_hi, key_lo
+
+
 @partial(
     jax.jit,
     static_argnames=("v_cap", "k_seg", "rows", "tiles_x", "slot_bits"),
@@ -258,35 +309,28 @@ def rasterize_sort(
         )
         packed = packed.reshape(-1)
         payload = payload.reshape(-1)
+        tx_bits = max((tiles_x + 1).bit_length(), 1)
+    elif slot_bits > 0:
+        # Monotonic-expand MXU kernel on TPU (~22 ms -> ~4 ms at paris
+        # scale), XLA scatter/prefix path elsewhere — see _expand_emit_packed.
+        tx_bits = max((tiles_x + 1).bit_length(), 1)
+        packed, payload = _expand_emit_packed(
+            params, lengths, vline_ends, v_total,
+            v_cap, k_seg, rows, tiles_x, row_lo, slot_bits, tx_bits,
+        )
     else:
+        # Two-key fallback (layer slots too wide to pack into one u32).
+        iota_v = jnp.arange(v_cap, dtype=jnp.uint32)
+        v_live = iota_v < v_total
         if backend == "pallas":
-            # Monotonic-expand MXU kernel: the [16, V] transposed output
-            # makes every per-param column read below a free row read, and
-            # j arrives computed (ops/expand_pallas.py; ~22 ms -> ~4 ms at
-            # paris scale vs the gather + prefix-scan + column-slice path).
             from .expand_pallas import expand_params_pallas
 
-            iota_v = jnp.arange(v_cap, dtype=jnp.uint32)
-            v_live = iota_v < v_total
-            PT, j = expand_params_pallas(
-                params, lengths > 0, vline_ends, v_cap
-            )
+            PT, j = expand_params_pallas(params, lengths > 0, vline_ends, v_cap)
             col = lambda i: PT[i]  # noqa: E731
         else:
-            # XLA path: scatter/prefix ops recover per-vline line id and
-            # intra-line index, then ONE row-gather for all per-line data
-            # (slot/length ride in the f32 matrix as exact value
-            # conversions — NOT the round-2 bitcast that hit TPU denormal
-            # flushing).
-            iota_v = jnp.arange(v_cap, dtype=jnp.uint32)
-            v_live = iota_v < v_total
-            ends = jnp.minimum(vline_ends, jnp.uint32(v_cap)).astype(
-                jnp.int32
-            )
+            ends = jnp.minimum(vline_ends, jnp.uint32(v_cap)).astype(jnp.int32)
             line_id = jnp.cumsum(
-                jnp.zeros(v_cap + 1, jnp.int32)
-                .at[ends]
-                .add(1, mode="drop")[:-1]
+                jnp.zeros(v_cap + 1, jnp.int32).at[ends].add(1, mode="drop")[:-1]
             )
             base = jax.lax.cummax(
                 jnp.zeros(v_cap + 1, jnp.uint32)
@@ -297,29 +341,19 @@ def rasterize_sort(
             j = (iota_v - base).astype(jnp.int32)
             P = params[li]  # [V, 16]
             col = lambda i: P[:, i]  # noqa: E731
-
-        if slot_bits > 0:
-            tx_bits = max((tiles_x + 1).bit_length(), 1)
-            packed, payload = _emit_packed(
-                col, j, v_live, k_seg, rows, tiles_x, row_lo,
-                slot_bits, tx_bits,
-            )
-            packed = packed.reshape(-1)
-            payload = payload.reshape(-1)
-        else:
-            key_hi, key_lo, payload = _emit_two_key(
-                col, j, v_live, k_seg, rows, tiles_x, row_lo
-            )
-            key_hi, key_lo, payload = jax.lax.sort(
-                (
-                    key_hi.reshape(-1),
-                    key_lo.reshape(-1),
-                    payload.reshape(-1),
-                ),
-                num_keys=2,
-                is_stable=False,
-            )
-            return key_hi, key_lo, payload
+        key_hi, key_lo, payload = _emit_two_key(
+            col, j, v_live, k_seg, rows, tiles_x, row_lo
+        )
+        key_hi, key_lo, payload = jax.lax.sort(
+            (
+                key_hi.reshape(-1),
+                key_lo.reshape(-1),
+                payload.reshape(-1),
+            ),
+            num_keys=2,
+            is_stable=False,
+        )
+        return key_hi, key_lo, payload
 
     # Packed single-key sort: [rowb | txb | slot] in minimal bits.
     # Unstable: equal (tile, layer) keys' payloads are summed by the grid
@@ -329,11 +363,7 @@ def rasterize_sort(
     packed, payload = jax.lax.sort(
         (packed, payload), num_keys=1, is_stable=False
     )
-    invalid = packed == SENTINEL
-    txb = (packed >> slot_bits) & jnp.uint32((1 << tx_bits) - 1)
-    rowb = packed >> (slot_bits + tx_bits)
-    key_hi = jnp.where(invalid, SENTINEL, (rowb << TX_BITS) | txb)
-    key_lo = jnp.where(invalid, 0, packed & jnp.uint32((1 << slot_bits) - 1))
+    key_hi, key_lo = unpack_packed_keys(packed, slot_bits, tx_bits)
     return key_hi, key_lo, payload
 
 

@@ -65,6 +65,13 @@ class Renderer:
         self.last_diag: Optional[np.ndarray] = None
         self.last_timings = None  # set by forma_tpu.profiling.profile_frame
         self._last_dmg = None  # compact damaged-tile readback (idx, tiles)
+        # Line-sharded multi-chip path state: round-robin endpoint-pair
+        # arrays (cached per geometry version + shard count) and its own
+        # capacity buckets (per-shard sized — ~1/N of the single-chip ones).
+        self._pairs_cache_key = None
+        self._pairs_cache = None
+        self._caps_lines = None
+        self._xcap = 1024
 
     def profile_frame(self, composition, width, height, clear_color, channels=None):
         """Per-stage `Timings` (the `gpu::Timings` analog) via a profiling
@@ -594,6 +601,147 @@ class Renderer:
                 run=max(caps.run, _bucket_fine(int(d[_pipe.DIAG_RUNS]))),
                 virt=max(caps.virt, _bucket_fine(int(d[_pipe.DIAG_VIRT]) + 1)),
                 k=max(caps.k, _bucket(max(int(d[_pipe.DIAG_K]), 1), lo=4)),
+            )
+        raise RuntimeError(f"capacity growth did not converge: {d}")
+
+    def _prepare_line_pairs(self, composition: Composition, n: int):
+        """Line-endpoint-pair arrays, round-robin permuted so shard i owns
+        lines {i, i+n, ...} — a spatially uniform sample of the scene (path
+        order is spatially coherent, so contiguous blocks would skew both
+        virtual-line load and exchange destinations).  Padded to n | L."""
+        import jax.numpy as jnp
+
+        buf = composition.shared_segment_buffer()
+        key = (buf.serial, buf.version, n)
+        if self._pairs_cache_key == key:
+            return self._pairs_cache
+        px, py, line_slot, uniq = self._prepare_geometry(composition)
+        x = np.asarray(px)
+        y = np.asarray(py)
+        ls = np.asarray(line_slot)
+        L = ls.shape[0]
+        Lp = -(-max(L, 1) // n) * n
+        p0x = np.zeros(Lp, np.float32)
+        p0y = np.zeros(Lp, np.float32)
+        p1x = np.zeros(Lp, np.float32)
+        p1y = np.zeros(Lp, np.float32)
+        lsp = np.full(Lp, -1, np.int32)
+        p0x[:L] = x[:-1] if len(x) > 1 else 0
+        p0y[:L] = y[:-1] if len(y) > 1 else 0
+        p1x[:L] = x[1:] if len(x) > 1 else 0
+        p1y[:L] = y[1:] if len(y) > 1 else 0
+        lsp[:L] = ls
+        perm = np.argsort(np.arange(Lp) % n, kind="stable")
+        self._pairs_cache_key = key
+        self._pairs_cache = (
+            jnp.asarray(p0x[perm]), jnp.asarray(p0y[perm]),
+            jnp.asarray(p1x[perm]), jnp.asarray(p1y[perm]),
+            jnp.asarray(lsp[perm]), uniq,
+        )
+        return self._pairs_cache
+
+    def render_device_sharded_lines(
+        self,
+        composition: Composition,
+        width: int,
+        height: int,
+        clear_color: Color = Color(0.0, 0.0, 0.0, 1.0),
+        channels=RGBA,
+        n_shards: int = 0,
+        check_caps: bool = True,
+    ):
+        """Renders with LINES and the framebuffer both sharded over an
+        `n_shards`-device 1D mesh (`ops/pipeline.render_frame_sharded_lines`):
+        each chip rasterizes and sorts only its own ~1/N of the lines, an
+        `all_to_all` exchanges pixel segments to their destination row bands
+        over ICI, and each chip sorts + paints the ~1/N segments it owns —
+        the whole pipeline scales, not just the back half."""
+        import jax
+        import jax.numpy as jnp
+
+        devs = jax.devices()
+        n = n_shards or len(devs)
+        if len(devs) < n:
+            raise ValueError(f"need {n} devices, have {len(devs)}")
+        mesh = getattr(self, "_mesh_cache", None)
+        if mesh is None or mesh.devices.size != n:
+            mesh = jax.make_mesh((n,), ("rows",), devices=devs[:n])
+            self._mesh_cache = mesh
+
+        composition.compact_geom()
+        composition._shared.props_interner.compact()
+
+        rows_total = -(-height // consts.TILE_HEIGHT)
+        rows_per_shard = -(-rows_total // n)
+        tiles_x = -(-width // consts.TILE_WIDTH)
+
+        p0x, p0y, p1x, p1y, line_slot, uniq = self._prepare_line_pairs(
+            composition, n
+        )
+        self._estimate_caps(composition, width, height)
+        if self._caps_lines is None:
+            # Per-shard buckets: ~1/N of the single-chip estimate (the
+            # round-robin split balances virtual-line load to a few %).
+            c = self._caps
+            self._caps_lines = _pipe.Caps(
+                vline=_bucket_fine(-(-c.vline // n)),
+                run=_bucket_fine(-(-c.run // n)),
+                virt=_bucket_fine(-(-c.virt // n)),
+                k=c.k,
+            )
+            # Exchange blocks start at ~(per-shard segments / N) with 2x
+            # skew slack; the growth loop converges the rest.
+            est = self._caps_lines.vline * _pipe.K_SEG // max(n, 1) * 2
+            self._xcap = max(128 * (-(-est // 128)), 1024)
+        skey = (
+            composition.shared_segment_buffer().serial,
+            composition._shared.scene_version,
+            composition._shared.style_version,
+        )
+        if self._styles_cache_key == skey:
+            st_host, st = self._styles_cache
+        else:
+            st_host = self._style_map.build(composition.layers)
+            st = _pipe.style_tables_device(st_host)
+            self._styles_cache_key = skey
+            self._styles_cache = (st_host, st)
+        g_slot, g_valid, g_t, g_has_t = self._geom_tables(
+            composition, uniq, st_host.orders
+        )
+        clear = jnp.asarray(clear_color.to_array(), jnp.float32)
+        chans = tuple(
+            ch.value for ch in _normalize_channels(channels, clear_color)
+        )
+
+        for _ in range(8):
+            frame, diag = _pipe.render_frame_sharded_lines(
+                p0x, p0y, p1x, p1y, line_slot,
+                g_slot, g_valid, g_t, g_has_t, st, clear,
+                width, height, rows_per_shard, tiles_x,
+                self._caps_lines, st_host.features, chans, mesh, self._xcap,
+            )
+            if not check_caps:
+                return frame, diag
+            d = np.asarray(diag)
+            caps = self._caps_lines
+            if (
+                d[_pipe.DIAG_VLINES] <= caps.vline
+                and d[_pipe.DIAG_RUNS] <= caps.run
+                and d[_pipe.DIAG_VIRT] <= caps.virt
+                and d[_pipe.DIAG_K] <= caps.k
+                and d[_pipe.DIAG_XPAIR] <= self._xcap
+            ):
+                self.last_diag = d
+                return frame, d
+            self._caps_lines = _pipe.Caps(
+                vline=max(caps.vline, _bucket_fine(int(d[_pipe.DIAG_VLINES]) + 1)),
+                run=max(caps.run, _bucket_fine(int(d[_pipe.DIAG_RUNS]))),
+                virt=max(caps.virt, _bucket_fine(int(d[_pipe.DIAG_VIRT]) + 1)),
+                k=max(caps.k, _bucket(max(int(d[_pipe.DIAG_K]), 1), lo=4)),
+            )
+            self._xcap = max(
+                self._xcap,
+                128 * (-(-(int(d[_pipe.DIAG_XPAIR]) + 1) // 128)),
             )
         raise RuntimeError(f"capacity growth did not converge: {d}")
 
