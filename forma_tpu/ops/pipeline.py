@@ -398,9 +398,12 @@ def render_frame_sharded(
     )(px, py, line_slot, g_slot, g_valid, g_t, g_has_t, st, clear)
 
 
-# Extra diagnostics entry for the line-sharded path: the largest per-
-# (source, destination) exchange block actually needed (vs the static xcap).
+# Extra diagnostics entries for the line-sharded path: the largest per-
+# (source, destination) exchange block actually needed (vs the static xcap),
+# and the largest per-shard received-segment population (the back half's
+# true work share — ideal is total segments / N).
 DIAG_XPAIR = 6
+DIAG_XRECV = 7
 
 
 @partial(
@@ -515,6 +518,7 @@ def render_frame_sharded_lines(
         # Re-bias rows to shard-local and order the received ~S/N segments.
         adj = (row_lo.astype(jnp.uint32)) << (slot_bits + tx_bits)
         recv_k = jnp.where(recv_k == _raster.SENTINEL, recv_k, recv_k - adj)
+        recv_valid = jnp.sum(recv_k != _raster.SENTINEL, dtype=jnp.int32)
         recv_k, recv_p = jax.lax.sort(
             (recv_k, recv_p), num_keys=1, is_stable=False
         )
@@ -525,7 +529,7 @@ def render_frame_sharded_lines(
             v_total, jax.lax.psum(segs_own, "rows"),
             st, clear, row_lo, rows, tiles_x, caps, features, channels, cull,
         )
-        diag = jnp.concatenate([diag, max_pair[None]])
+        diag = jnp.concatenate([diag, max_pair[None], recv_valid[None]])
         return frame, jax.lax.pmax(diag, "rows")
 
     return jax.shard_map(
