@@ -50,6 +50,125 @@ def _paint_backend() -> str:
     return "wave"
 
 
+def _fold_backend() -> str:
+    """Pixel-fold backend for simple frames (Over-only, solid fills, no
+    clip/gradient/texture): the Pallas VMEM-resident fold on TPU, the XLA
+    wave fold elsewhere.  FORMA_FOLD=xla|pallas overrides (A/B benches)."""
+    env = os.environ.get("FORMA_FOLD")
+    if env in ("xla", "pallas"):
+        return env
+    # Default stays XLA until the kernel beats the wave fold in a
+    # committed-state A/B (the TB=8 revision measured 9.67 vs 10.43 FPS;
+    # the TB=32 + MXU-prefix revision is pending TPU time).
+    return "xla"
+
+
+def _fold_pallas_eligible(features: "Features", k_slots: int) -> bool:
+    """The Pallas fold covers the solid-fill Over-only common path; frames
+    needing blend modes, clips, gradients or textures take the wave fold."""
+    return (
+        features.blend_modes == (0,)
+        and not features.has_clip
+        and not features.has_gradient
+        and not features.has_texture
+        and k_slots <= 256
+    )
+
+
+def _paint_fold_pallas(
+    key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid,
+    grid, carry_in_s, carry_after_s, style_s,
+    clear_color, rows: int, tiles_x: int, k_slots: int,
+    interpret: bool = False,
+):
+    """XLA-side prep + Pallas fold; returns the frame as [T, TH, TW, 4] f32.
+
+    Builds the per-unit matrix U (grid row | carry | fill | fill-rule), the
+    per-tile unit spans, and the per-block SMEM descriptors, then runs the
+    VMEM-resident fold (ops/paint_pallas.py).  Bit-compatible with the wave
+    fold: same integer coverage math, same blend expression tree.
+    """
+    from . import paint_pallas as _pp
+
+    n_tiles = rows * tiles_x
+    TBp = _pp.TB
+    t8 = -(-n_tiles // TBp) * TBp
+    nblk = t8 // TBp
+    u_cap = key_u.shape[0]
+    run_cap = grid.shape[0]
+
+    rowb = (key_u >> TX_BITS).astype(jnp.int32) - 1
+    txu = (key_u & jnp.uint32((1 << TX_BITS) - 1)).astype(jnp.int32) - 1
+    tile_of = jnp.where(u_valid, rowb * tiles_x + txu, t8 + 1)
+
+    # First-unit position per tile.  Units are (tile, layer)-sorted, so the
+    # group boundaries (<= one per tile) compact to the front of ONE sort
+    # and a t8-sized scatter — a u_cap-index scatter would cost ~10 ns/index
+    # (~3.5 ms at paris scale).
+    iota_u = jnp.arange(u_cap, dtype=jnp.int32)
+    boundary = u_valid & (
+        (tile_of != jnp.roll(tile_of, 1)) | (iota_u == 0)
+    )
+    skey = jnp.where(boundary, tile_of, t8 + 1).astype(jnp.uint32)
+    # Unstable: boundary keys are unique (one per tile).
+    skey_s, pos_s = jax.lax.sort((skey, iota_u), num_keys=1, is_stable=False)
+    ntake = min(t8 + 1, u_cap)
+    ust = (
+        jnp.full((t8 + 2,), u_cap, jnp.int32)
+        .at[skey_s[:ntake].astype(jnp.int32)]
+        .min(pos_s[:ntake], mode="drop")[: t8 + 1]
+    )
+    n_valid = jnp.sum(u_valid, dtype=jnp.int32)
+    ust = ust.at[t8].min(n_valid)
+    # Backfill empty tiles with the next tile's start (reverse cummin).
+    ust = jnp.flip(jax.lax.cummin(jnp.flip(ust)))
+    depth = ust[1:] - ust[:-1]  # [t8] true per-tile unit counts
+    cnt = jnp.minimum(depth, k_slots)
+
+    # The unit matrix: [grid row (zero for virtual) | carry | rgba | fr].
+    virt = (virt_u & FLAG_VIRTUAL) != 0
+    g_rows = jnp.where(
+        (virt | ~u_valid)[:, None], 0, grid[jnp.minimum(src_u, run_cap - 1)]
+    )
+    carr_ext = jnp.concatenate(
+        [
+            jnp.concatenate([carry_in_s, style_s], axis=1),
+            jnp.concatenate([carry_after_s, style_s], axis=1),
+        ],
+        axis=0,
+    )  # [2R, 21]
+    cidx = jnp.minimum(src2_u, run_cap - 1) + jnp.where(virt, run_cap, 0)
+    m_rows = carr_ext[cidx]  # [u_cap, 21]
+    u_mat = jnp.concatenate([g_rows, m_rows], axis=1)  # [u_cap, 277]
+    win = -(-(TBp * k_slots + _pp.CH + 8) // _pp.CH) * _pp.CH
+    u_mat = jnp.pad(u_mat, ((0, win), (0, _pp.UW - u_mat.shape[1])))
+
+    # Per-block descriptors (SMEM).
+    ust_t = ust[:t8].reshape(nblk, TBp)
+    cnt_t = cnt.reshape(nblk, TBp)
+    start_al = (ust_t[:, 0] // 8) * 8  # 8-aligned DMA starts
+    span_end = jnp.concatenate([ust_t[1:, 0], ust[t8 : t8 + 1]])
+    kmax = jnp.max(cnt_t, axis=1)
+    nch = jnp.minimum(
+        -(-(span_end - start_al) // _pp.CH), win // _pp.CH
+    )
+    nch = jnp.where(kmax > 0, nch, 0)
+    blkinfo = jnp.concatenate(
+        [
+            start_al[:, None], nch[:, None], kmax[:, None],
+            jnp.zeros((nblk, 5), jnp.int32),
+            ust_t - start_al[:, None],
+            cnt_t,
+        ],
+        axis=1,
+    )  # [nblk, BI_W]
+
+    out = _pp.paint_fold_pallas(
+        u_mat, blkinfo, clear_color, k_slots=k_slots, interpret=interpret
+    )
+    return out[:n_tiles].reshape(n_tiles, 4, TH, TW).transpose(0, 2, 3, 1)
+
+
 # The tree fold's FIXED chunk grid: (band_lo, band_hi, chunk_size).  Chunk
 # boundaries are ABSOLUTE positions in k, so a tile's composition grouping
 # is a function of its own unit list only — never of the wave schedule or
@@ -409,7 +528,7 @@ def cull_units(key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid):
 
 @partial(
     jax.jit,
-    static_argnames=("rows", "tiles_x", "k_slots", "features"),
+    static_argnames=("rows", "tiles_x", "k_slots", "features", "wave"),
 )
 def paint(
     # paint units (sorted by (tile, layer), culled):
@@ -446,6 +565,9 @@ def paint(
     row_lo=0,  # traced: absolute index of this shard's first tile row
     k_active=None,  # traced: actual max slots this frame (<= k_slots)
     tile_unchanged=None,  # traced bool [T]: tiles to skip (damage cache/crop)
+    wave=(4, 256),  # static (shrink, floor) of the wave prefix schedule
+    style_s=None,  # i32 [R, 5] per-run rgba bits + fill rule (run_data);
+    #                enables the Pallas VMEM-resident fold on simple frames
 ):
     """Returns the painted frame as linear f32 [rows*16, tiles_x*16, 4].
 
@@ -463,6 +585,29 @@ def paint(
     n_tiles = rows * tiles_x
     u_cap = key_u.shape[0]
     run_cap = grid.shape[0]
+
+    # Pallas VMEM-resident fold for the solid/Over common path: the wave
+    # fold's dominant cost is the framebuffer carry round-tripping HBM on
+    # every k step (~0.73 ms/step at 8k tiles — tools/paint_state_probe.py;
+    # XLA cannot fuse consecutive blend steps into one dst pass —
+    # tools/paint_chunk_fusion_probe.py), which the kernel removes by
+    # keeping each tile block's pixels in VMEM for its whole unit list.
+    if (
+        style_s is not None
+        and tile_unchanged is None
+        and _fold_backend() == "pallas"
+        and _fold_pallas_eligible(features, k_slots)
+    ):
+        frame_t = _paint_fold_pallas(
+            key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid,
+            grid, carry_in_s, carry_after_s, style_s,
+            clear_color, rows, tiles_x, k_slots,
+            interpret=jax.default_backend() != "tpu",
+        )
+        frame = frame_t.reshape(rows, tiles_x, TH, TW, 4)
+        return frame.transpose(0, 2, 1, 3, 4).reshape(
+            rows * TH, tiles_x * TW, 4
+        )
 
     # Per-tile slot table — ONE scatter carries everything per-tile passes
     # need: the unit index in the low 24 bits (u_cap < 2^24 asserted below)
@@ -704,9 +849,10 @@ def paint(
     # Wave schedule: shrinking static prefixes; wave i runs k in
     # [e_i, e_{i+1}) where e_{i+1} = depth of the first tile OUTSIDE the
     # next prefix — every shallower tile is already finished.
+    shrink, floor_p = wave
     prefixes = [n_tiles]
-    while prefixes[-1] > 256:
-        prefixes.append(max(prefixes[-1] // 4, 256))
+    while prefixes[-1] > floor_p:
+        prefixes.append(max(prefixes[-1] // shrink, floor_p))
     bounds = [jnp.int32(0)]
     for nxt in prefixes[1:]:
         # Max depth of any tile outside the next prefix (sorted descending).

@@ -139,6 +139,7 @@ def _back(
         jnp.minimum(num_runs, caps.run),
         st["pidx"], st["fill_rule"], st_opaque, st_isclip, st_solid,
         caps.run, tiles_x,
+        st_color=st["color"],
     )
 
     key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid, k_pre = (
@@ -235,6 +236,7 @@ def _back(
         rows, tiles_x, caps.k, features, row_lo,
         k_active=jnp.minimum(k_needed, caps.k),
         tile_unchanged=tile_skip,
+        style_s=rd["style_s"],
     )
     packed = _srgb.pack_srgb(frame, channels)
 

@@ -121,6 +121,9 @@ def run_data(
     st_solid,  # bool [P] solid-fill draw, not clipped (any alpha/blend)
     run_cap: int,
     tiles_x: int,
+    st_color=None,  # f32 [P, 4] solid colors; when given, per-run style
+    #                 rows ride the existing slot gather (for the Pallas
+    #                 paint fold — see ops/paint_pallas.py)
 ):
     """Builds per-run packed grids and carry chains.
 
@@ -227,7 +230,25 @@ def run_data(
         | (st_opaque[st_pidx].astype(jnp.int32) << 2)
         | (st_solid[st_pidx].astype(jnp.int32) << 3)
     )  # i32 [SL]
-    f_s = sl_flags[slot_s]
+    style_s = None
+    if st_color is None:
+        f_s = sl_flags[slot_s]
+    else:
+        # Widen the ONE per-run gather (gathers cost per index, not per
+        # byte) so the Pallas paint fold gets its per-run solid color +
+        # fill rule without a second run-cap-index gather.
+        sl_pack = jnp.concatenate(
+            [
+                sl_flags[:, None],
+                jax.lax.bitcast_convert_type(st_color[st_pidx], jnp.int32),
+            ],
+            axis=1,
+        )  # [SL, 5]
+        packed_s = sl_pack[slot_s]  # [R, 5]
+        f_s = packed_s[:, 0]
+        style_s = jnp.concatenate(
+            [packed_s[:, 1:5], (f_s & 1)[:, None]], axis=1
+        )  # [R, 5]: rgba f32 bits + fill-rule-is-eo
     fr_eo = (f_s & 1) == 1
     isclip_s = (f_s & 2) != 0
     opaque_s = (f_s & 4) != 0
@@ -271,6 +292,7 @@ def run_data(
         r_valid=r_valid,
         real_flags=real_flags,
         grid=grid,
+        style_s=style_s,
         inv=inv,  # original run -> sorted position
         # sorted-by-(row, layer, tile_x) domain:
         key2_s=key2_s,

@@ -125,15 +125,16 @@ def profile_frame(renderer, composition, width, height, clear_color, channels=No
         (st["func"] == 0) & (st["fill_type"] == 0) & (~st["is_clipped"])
     )
 
-    def do_runs(kh, kl, payload, run_id, new_run, nr, pidx, fr, op, ic, so):
+    def do_runs(kh, kl, payload, run_id, new_run, nr, pidx, fr, op, ic, so, col):
         return _runs.run_data(
             kh, kl, payload, run_id, new_run, nr,
-            pidx, fr, op, ic, so, caps.run, tiles_x,
+            pidx, fr, op, ic, so, caps.run, tiles_x, st_color=col,
         )
 
     runs_args = (kh, kl, payload, run_id, new_run,
                  jnp.minimum(num_runs, caps.run),
-                 st["pidx"], st["fill_rule"], st_opaque, st_isclip, st_solid)
+                 st["pidx"], st["fill_rule"], st_opaque, st_isclip, st_solid,
+                 st["color"])
     t_rd = _timeit(do_runs, *runs_args)
     rd = jax.jit(do_runs)(*runs_args)
 
@@ -159,6 +160,7 @@ def profile_frame(renderer, composition, width, height, clear_color, channels=No
             st["grad"], st["stops"], st["tex"], st["atlas"], clear,
             rows, tiles_x, caps.k, features,
             k_active=ka,
+            style_s=rd["style_s"],
         )
 
     ka = jnp.minimum(cu[7], caps.k)
