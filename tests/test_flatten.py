@@ -280,3 +280,91 @@ def test_ring_overlapping_start():
     assert int(np.sum(segments.start_new_contour)) == 2
     assert segments.start_new_contour[12]
     assert segments.start_new_contour[25]
+
+def test_circle_quadrants_point_count():
+    # `path.rs:1411-1492`: a radius-50 circle from four rational quads
+    # emits exactly 66 points, every flattened step shorter than 5 px.
+    prim = _Primitives()
+    radius = 50.0
+    weight = math.sqrt(2.0) / 2.0
+    prim.push_quad([wp(radius, 0.0), wp(0.0, 0.0, weight), wp(0.0, radius)])
+    prim.push_quad([
+        wp(0.0, radius),
+        wp(0.0, 2.0 * radius * weight, weight),
+        wp(radius, 2.0 * radius),
+    ])
+    prim.push_quad([
+        wp(radius, 2.0 * radius),
+        wp(2.0 * radius * weight, 2.0 * radius * weight, weight),
+        wp(2.0 * radius, radius),
+    ])
+    prim.push_quad([
+        wp(2.0 * radius, radius),
+        wp(2.0 * radius * weight, 0.0, weight),
+        wp(radius, 0.0),
+    ])
+    segments = prim.into_segments()
+    assert len(segments.x) == 66
+    pts = np.stack([segments.x, segments.y], axis=1).astype(np.float64)
+    steps = np.hypot(*np.diff(pts, axis=0).T)
+    assert steps.max() < 5.0
+
+
+def test_transform_path():
+    # `path.rs:1494-1566`: translation shares the flattening (same point
+    # count, shifted); a 2x scale re-flattens with MORE points at the
+    # scaled radius.
+    weight = math.sqrt(2.0) / 2.0
+    radius = 10.0
+    b = PathBuilder()
+    b.move_to(Point(radius, 0.0))
+    b.rat_quad_to(Point(radius, -radius), Point(0.0, -radius), weight)
+    b.rat_quad_to(Point(-radius, -radius), Point(-radius, 0.0), weight)
+    b.rat_quad_to(Point(-radius, radius), Point(0.0, radius), weight)
+    b.rat_quad_to(Point(radius, radius), Point(radius, 0.0), weight)
+    path = b.build()
+
+    x, y, _ = path.push_segments_to()
+    orig_len = len(x)
+    r = np.hypot(np.asarray(x, np.float64), np.asarray(y, np.float64))
+    assert np.abs(r - radius).max() <= 0.1
+
+    dx, dy = 5.0, 20.0
+    moved = path.transform([1.0, 0.0, dx, 0.0, 1.0, dy, 0.0, 0.0, 1.0])
+    x, y, _ = moved.push_segments_to()
+    assert len(x) == orig_len
+    r = np.hypot(np.asarray(x, np.float64) - dx, np.asarray(y, np.float64) - dy)
+    assert np.abs(r - radius).max() <= 0.1
+
+    s = 2.0
+    scaled = path.transform([s, 0.0, 0.0, 0.0, s, 0.0, 0.0, 0.0, 1.0])
+    x, y, _ = scaled.push_segments_to()
+    r = np.hypot(np.asarray(x, np.float64), np.asarray(y, np.float64))
+    assert np.abs(r - s * radius).max() <= 0.1
+    assert len(x) > orig_len
+
+
+def test_perspective_transform_path():
+    # `path.rs:1568-1627`: a circle far from the origin under a perspective
+    # transform squishes horizontally: across-point distances range from
+    # radius/2 (squeezed diameter) to radius.
+    weight = math.sqrt(2.0) / 2.0
+    radius = 10.0
+    tr = 1000.0
+    b = PathBuilder()
+    b.move_to(Point(radius + tr, 0.0))
+    b.rat_quad_to(Point(radius + tr, -radius), Point(tr, -radius), weight)
+    b.rat_quad_to(Point(-radius + tr, -radius), Point(-radius + tr, 0.0), weight)
+    b.rat_quad_to(Point(-radius + tr, radius), Point(tr, radius), weight)
+    b.rat_quad_to(Point(radius + tr, radius), Point(radius + tr, 0.0), weight)
+    path = b.build().transform(
+        [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.001, 0.0, 1.0]
+    )
+    x, y, _ = path.push_segments_to()
+    pts = np.stack([x, y], axis=1).astype(np.float64)[:-1]  # drop dup close
+    half = len(pts) // 2
+    idx = np.arange(half)
+    opposite = pts[(idx + half) % len(pts)]
+    d = np.hypot(*(pts[idx] - opposite).T)
+    assert abs(d.min() - radius / 2.0) <= 0.2
+    assert abs(d.max() - radius) <= 0.2
