@@ -565,7 +565,8 @@ def paint(
     row_lo=0,  # traced: absolute index of this shard's first tile row
     k_active=None,  # traced: actual max slots this frame (<= k_slots)
     tile_unchanged=None,  # traced bool [T]: tiles to skip (damage cache/crop)
-    wave=(4, 256),  # static (shrink, floor) of the wave prefix schedule
+    wave=None,  # static (shrink, floor) of the wave prefix schedule;
+    #             None -> FORMA_WAVE="shrink,floor" env or (4, 256)
     style_s=None,  # i32 [R, 5] per-run rgba bits + fill rule (run_data);
     #                enables the Pallas VMEM-resident fold on simple frames
 ):
@@ -849,6 +850,11 @@ def paint(
     # Wave schedule: shrinking static prefixes; wave i runs k in
     # [e_i, e_{i+1}) where e_{i+1} = depth of the first tile OUTSIDE the
     # next prefix — every shallower tile is already finished.
+    # Env-resolved at trace time (constant within a process): lets schedule
+    # A/Bs run as FORMA_WAVE=2,256 bench invocations without code edits.
+    if wave is None:
+        env = os.environ.get("FORMA_WAVE")
+        wave = tuple(int(v) for v in env.split(",")) if env else (4, 256)
     shrink, floor_p = wave
     prefixes = [n_tiles]
     while prefixes[-1] > floor_p:
