@@ -851,14 +851,31 @@ def paint(
     # [e_i, e_{i+1}) where e_{i+1} = depth of the first tile OUTSIDE the
     # next prefix — every shallower tile is already finished.
     # Env-resolved at trace time (constant within a process): lets schedule
-    # A/Bs run as FORMA_WAVE=2,256 bench invocations without code edits.
+    # A/Bs run as bench invocations without code edits.  Two forms:
+    #   FORMA_WAVE=shrink,floor     geometric ladder (default 4,256)
+    #   FORMA_WAVE=f:0.38,0.17,...  explicit prefix-size fractions of
+    #                               n_tiles (a host-DP-derived ladder; the
+    #                               schedule only changes WORK GROUPING —
+    #                               output is bit-identical either way)
     if wave is None:
         env = os.environ.get("FORMA_WAVE")
-        wave = tuple(int(v) for v in env.split(",")) if env else (4, 256)
-    shrink, floor_p = wave
-    prefixes = [n_tiles]
-    while prefixes[-1] > floor_p:
-        prefixes.append(max(prefixes[-1] // shrink, floor_p))
+        if env and env.startswith("f:"):
+            wave = tuple(float(v) for v in env[2:].split(","))
+        elif env:
+            wave = tuple(int(v) for v in env.split(","))
+        else:
+            wave = (4, 256)
+    if any(isinstance(v, float) for v in wave):
+        prefixes = sorted(
+            {min(n_tiles, max(1, int(-(-f * n_tiles // 1)))) for f in wave}
+            | {n_tiles},
+            reverse=True,
+        )
+    else:
+        shrink, floor_p = wave
+        prefixes = [n_tiles]
+        while prefixes[-1] > floor_p:
+            prefixes.append(max(prefixes[-1] // shrink, floor_p))
     bounds = [jnp.int32(0)]
     for nxt in prefixes[1:]:
         # Max depth of any tile outside the next prefix (sorted descending).
