@@ -105,6 +105,32 @@ def main():
         for idx, name in DIAG_NAMES.items():
             print(f"  {name:9s} {diags[:, idx].tolist()}")
 
+    # ---- the LINE-sharded path: the whole pipeline (incl. the sort)
+    # scales ~1/N.  Work maxima come from the pmax'd diagnostics; the
+    # static per-shard sort sizes come from the capacity buckets the
+    # renderer sizes for each mesh (front sort = own-line segments, back
+    # sort = received exchange blocks).
+    print("\nline-sharded path (render_device_sharded_lines):")
+    base_recv = None
+    for n in (1, 2, 4, 8):
+        rl = Renderer()
+        frame, d = rl.render_device_sharded_lines(
+            comp, W, H, clear, n_shards=n
+        )
+        caps_l = rl._caps_lines
+        front = caps_l.vline * pipe.K_SEG
+        back = n * rl._xcap
+        recv = int(d[pipe.DIAG_XRECV])
+        if base_recv is None:
+            base_recv = recv
+        print(
+            f"shards={n}: max recv segs {recv} "
+            f"(vs 1-shard {recv / max(base_recv, 1):.3f}, ideal {1 / n:.3f}); "
+            f"sort sizes front {front} back {back}; "
+            f"runs {int(d[pipe.DIAG_RUNS])} virt {int(d[pipe.DIAG_VIRT])} "
+            f"k {int(d[pipe.DIAG_K])} xpair {int(d[pipe.DIAG_XPAIR])}"
+        )
+
 
 if __name__ == "__main__":
     main()
