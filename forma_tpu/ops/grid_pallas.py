@@ -42,34 +42,65 @@ CROWS = 32  # grid rows per output chunk / DMA flush
 NCELL = 256  # cells per run (16x16 tile)
 
 
-def _kernel(seg_ref, grid_ref, rowcov_ref, cbuf, sendbuf, sendbuf2, state, sems, sems2):
+def _kernel(
+    seg_ref, grid_ref, rowcov_ref, cbuf, kbuf, sendbuf, sendbuf2, state,
+    sems, sems2, *, with_keys: bool,
+):
     """One grid step: accumulate block `b`'s segments into chunk-aligned
     grid rows.
 
-    seg_ref [1, 4, B] i32 — (rid, cell, area, cover) rows of this block.
+    seg_ref [1, 4|6, B] i32 — (rid, cell, area, cover[, key_hi, key_lo])
+    rows of this block.
     rowcov_ref [gp, TH] i32 — per-run row sums of cover, emitted at flush
     time from the VMEM-resident chunk (saves the callers' full re-read of
-    the 300+ MB grid just to reduce it).
+    the 300+ MB grid just to reduce it).  With `with_keys`, lanes 16/17
+    additionally carry the run's (key_hi, key_lo) — selected from the
+    run's FIRST segment by a masked max over sign-biased i32 key bits
+    (exactly one segment per run matches globally, so the max is pure
+    selection) — replacing the callers' blocked-compaction key extraction
+    (a batched sort + an [R, 2] per-index gather, ~3 ms at paris scale).
 
     Scratch:
       cbuf   [CROWS, NCELL] i32 — the current partial chunk (persistent)
+      kbuf   [2, CROWS, 1] i32 — biased first-segment keys (hi, lo) of the
+             chunk's runs
       sendbuf [2, CROWS, NCELL] i32 — DMA staging (double buffer)
-      sendbuf2 [2, CROWS, 128] i32 — rowcov DMA staging (cols 16+ zero)
-      state  [2] i32 SMEM — (current chunk id, flush count)
+      sendbuf2 [2, CROWS, 128] i32 — rowcov DMA staging (cols 16+ zero,
+               or run keys in 16/17 when `with_keys`)
+      state  [3] i32 SMEM — (current chunk id, flush count, prev block's
+             last rid — the cross-block seed for the first-segment mask)
       sems/sems2   DMA((2,)) — per-slot flush semaphores
     """
     b = pl.program_id(0)
     nb = pl.num_programs(0)
+    _IMIN = jnp.int32(-(2**31))
 
     @pl.when(b == 0)
     def _init():
         cbuf[:, :] = jnp.zeros((CROWS, NCELL), jnp.int32)
         state[0] = 0
         state[1] = 0
+        state[2] = -1
+        if with_keys:
+            kbuf[:, :, :] = jnp.full((2, CROWS, 1), _IMIN, jnp.int32)
 
     rid = seg_ref[0, 0, :]
     q_lo = seg_ref[0, 0, 0] // CROWS
     q_hi = seg_ref[0, 0, B - 1] // CROWS
+
+    if with_keys:
+        # First-occurrence mask: rid steps up (nondecreasing, gapless), so a
+        # run's first segment is where rid differs from its predecessor; the
+        # predecessor of lane 0 is the previous block's last rid (SMEM).
+        rid2 = rid[None, :]
+        lane_b = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+        prev = jnp.where(lane_b == 0, state[2], jnp.roll(rid2, 1, axis=1))
+        fm = rid2 != prev  # [1, B]
+        # Sign-biased key bits: order-preserving for u32 under i32 max, and
+        # SENTINEL (0xFFFFFFFF) stays selectable above the _IMIN identity.
+        khb = seg_ref[0, 4, :][None, :] ^ _IMIN
+        klb = seg_ref[0, 5, :][None, :] ^ _IMIN
+        state[2] = seg_ref[0, 0, B - 1]
 
     # One single-pass bf16 matmul covers all three accumulations: the
     # selector matrix stacks three 32-row bands (area>>8, area&255, cover),
@@ -119,7 +150,14 @@ def _kernel(seg_ref, grid_ref, rowcov_ref, cbuf, sendbuf, sendbuf2, state, sems,
         ).astype(jnp.bfloat16)
         s0 = jnp.dot(b0, oh_ly, preferred_element_type=jnp.float32)
         s1 = jnp.dot(b1, oh_ly, preferred_element_type=jnp.float32)
-        sendbuf2[slot] = s1.astype(jnp.int32) * 256 + s0.astype(jnp.int32)
+        rcv = s1.astype(jnp.int32) * 256 + s0.astype(jnp.int32)
+        if with_keys:
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (CROWS, 128), 1)
+            rcv = jnp.where(
+                lanes == 16, kbuf[0] ^ _IMIN,
+                jnp.where(lanes == 17, kbuf[1] ^ _IMIN, rcv),
+            )
+        sendbuf2[slot] = rcv
         cq = state[0]
         pltpu.make_async_copy(
             sendbuf.at[slot],
@@ -135,7 +173,8 @@ def _kernel(seg_ref, grid_ref, rowcov_ref, cbuf, sendbuf, sendbuf2, state, sems,
         state[0] = q_new
 
     def chunk_body(q, _):
-        sel = (rid[None, :] == (q * CROWS + rows_iota)).astype(jnp.float32)
+        selb = rid[None, :] == (q * CROWS + rows_iota)
+        sel = selb.astype(jnp.float32)
         m = jnp.concatenate(
             [sel * a_hi[None, :], sel * a_lo[None, :], sel * cov_f[None, :]],
             axis=0,
@@ -145,16 +184,26 @@ def _kernel(seg_ref, grid_ref, rowcov_ref, cbuf, sendbuf, sendbuf2, state, sems,
         packed = asum.astype(jnp.int32) * 65536 + out[
             2 * CROWS : 3 * CROWS
         ].astype(jnp.int32)
+        if with_keys:
+            sf = selb & fm
+            kh_c = jnp.max(jnp.where(sf, khb, _IMIN), axis=1, keepdims=True)
+            kl_c = jnp.max(jnp.where(sf, klb, _IMIN), axis=1, keepdims=True)
         cq = state[0]  # read BEFORE flush mutates it
 
         @pl.when(q != cq)
         def _advance():
             flush(q)
             cbuf[:, :] = packed
+            if with_keys:
+                kbuf[0] = kh_c
+                kbuf[1] = kl_c
 
         @pl.when(q == cq)
         def _accum():
             cbuf[:, :] = cbuf[:, :] + packed
+            if with_keys:
+                kbuf[0] = jnp.maximum(kbuf[0], kh_c)
+                kbuf[1] = jnp.maximum(kbuf[1], kl_c)
 
         return 0
 
@@ -191,40 +240,52 @@ def _kernel(seg_ref, grid_ref, rowcov_ref, cbuf, sendbuf, sendbuf2, state, sems,
 
 
 @partial(jax.jit, static_argnames=("run_cap", "interpret"))
-def grid_build_pallas(rid, cell, area, cover, run_cap: int, interpret: bool = False):
+def grid_build_pallas(
+    rid, cell, area, cover, run_cap: int, interpret: bool = False,
+    key_hi=None, key_lo=None,
+):
     """Builds the packed [run_cap_pad, NCELL] i32 grid from run-sorted
     segments.
 
     rid   i32 [N] nondecreasing, gapless run ids (clamped < run_cap)
     cell  i32 [N] in [0, 256)
     area  i32 [N], cover i32 [N] (padding entries contribute 0)
+    key_hi/key_lo  optional u32 [N] per-segment sort keys (constant within
+    a run); when given, a third return carries each run's (key_hi, key_lo)
 
-    N must be a multiple of 512.  Returns (grid, rowcov): the packed grid
-    and the per-run [*, 16] row sums of its cover half, both with run_cap
-    padded up to a multiple of 32; rows beyond the last run id are
-    UNINITIALIZED — callers must mask by run validity (they already do).
-    (rowcov stages through 128 lanes — DMA minor-dim alignment — and is
-    sliced back to 16 here.)
+    N must be a multiple of 512.  Returns (grid, rowcov[, runkeys]): the
+    packed grid, the per-run [*, 16] row sums of its cover half, and (with
+    keys) the per-run [*, 2] u32 keys, all with run_cap padded up to a
+    multiple of 32; rows beyond the last run id are UNINITIALIZED —
+    callers must mask by run validity (they already do).  (rowcov and
+    runkeys share one [*, 128] staging buffer — DMA minor-dim alignment.)
     """
     n = rid.shape[0]
     assert n % B == 0, n
     nb = n // B
     gp = -(-run_cap // CROWS) * CROWS
+    with_keys = key_hi is not None
 
-    seg = jnp.stack(
-        [
-            rid.reshape(nb, B),
-            cell.reshape(nb, B),
-            area.reshape(nb, B),
-            cover.reshape(nb, B),
-        ],
-        axis=1,
-    )  # [nb, 4, B]
+    cols = [
+        rid.reshape(nb, B),
+        cell.reshape(nb, B),
+        area.reshape(nb, B),
+        cover.reshape(nb, B),
+    ]
+    if with_keys:
+        cols.append(
+            jax.lax.bitcast_convert_type(key_hi, jnp.int32).reshape(nb, B)
+        )
+        cols.append(
+            jax.lax.bitcast_convert_type(key_lo, jnp.int32).reshape(nb, B)
+        )
+    seg = jnp.stack(cols, axis=1)  # [nb, 4|6, B]
+    ncols = len(cols)
 
     grid, rowcov = pl.pallas_call(
-        _kernel,
+        partial(_kernel, with_keys=with_keys),
         grid=(nb,),
-        in_specs=[pl.BlockSpec((1, 4, B), lambda b: (b, 0, 0))],
+        in_specs=[pl.BlockSpec((1, ncols, B), lambda b: (b, 0, 0))],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -235,13 +296,19 @@ def grid_build_pallas(rid, cell, area, cover, run_cap: int, interpret: bool = Fa
         ],
         scratch_shapes=[
             pltpu.VMEM((CROWS, NCELL), jnp.int32),
+            pltpu.VMEM((2, CROWS, 1), jnp.int32),
             pltpu.VMEM((2, CROWS, NCELL), jnp.int32),
             pltpu.VMEM((2, CROWS, 128), jnp.int32),
-            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((3,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(seg)
+    if with_keys:
+        runkeys = jax.lax.bitcast_convert_type(
+            rowcov[:, 16:18], jnp.uint32
+        )
+        return grid, rowcov[:, :16], runkeys
     return grid, rowcov[:, :16]

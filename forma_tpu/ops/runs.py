@@ -50,11 +50,16 @@ def _grid_backend() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
-def _build_grid(rid, cell, area, cover, run_cap: int):
+def _build_grid(rid, cell, area, cover, run_cap: int, key_hi=None, key_lo=None):
     """Packed [run_cap, 256] i32 grid (area sums in the high 16 bits, cover
     in the low 16 — exact because per-cell sums stay within i16, the same
     bound the reference's tile accumulators rely on) plus the per-run
-    [run_cap, 16] row sums of cover (the carry-chain input)."""
+    [run_cap, 16] row sums of cover (the carry-chain input).
+
+    Returns (grid, rowcov, runkeys): on the Pallas path `runkeys` is the
+    per-run [run_cap, 2] u32 (key_hi, key_lo) emitted at flush time, which
+    replaces the blocked-compaction key extraction in `run_data`; the XLA
+    path returns None and the caller compacts."""
     if _grid_backend() == "pallas":
         from .grid_pallas import B as _B
         from .grid_pallas import grid_build_pallas
@@ -63,13 +68,23 @@ def _build_grid(rid, cell, area, cover, run_cap: int):
         pad = -n % _B
         if pad:
             # Padding keeps rid nondecreasing and gapless (edge mode) and
-            # contributes zero.
+            # contributes zero; edge-padded keys add no first occurrence.
             rid = jnp.pad(rid, (0, pad), mode="edge")
             cell = jnp.pad(cell, (0, pad))
             area = jnp.pad(area, (0, pad))
             cover = jnp.pad(cover, (0, pad))
-        grid, rowcov = grid_build_pallas(rid, cell, area, cover, run_cap)
-        return grid[:run_cap], rowcov[:run_cap]
+            if key_hi is not None:
+                key_hi = jnp.pad(key_hi, (0, pad), mode="edge")
+                key_lo = jnp.pad(key_lo, (0, pad), mode="edge")
+        out = grid_build_pallas(
+            rid, cell, area, cover, run_cap, key_hi=key_hi, key_lo=key_lo,
+            interpret=jax.default_backend() != "tpu",
+        )
+        if key_hi is not None:
+            grid, rowcov, runkeys = out
+            return grid[:run_cap], rowcov[:run_cap], runkeys[:run_cap]
+        grid, rowcov = out
+        return grid[:run_cap], rowcov[:run_cap], None
     val = area * 65536 + cover  # zero for padding segments
     grid = (
         jnp.zeros((run_cap, TH * TW), jnp.int32)
@@ -78,7 +93,7 @@ def _build_grid(rid, cell, area, cover, run_cap: int):
     )
     _, cover_cells = unpack_grid(grid)
     rowcov = cover_cells.reshape(run_cap, TH, TW).sum(axis=2)
-    return grid, rowcov
+    return grid, rowcov, None
 
 
 @jax.jit
@@ -133,51 +148,66 @@ def run_data(
     seg_n = key_hi.shape[0]
 
     # Packed grid accumulation (Pallas MXU kernel on TPU, XLA scatter
-    # elsewhere — see _build_grid).
+    # elsewhere — see _build_grid).  The Pallas kernel also emits each
+    # run's (key_hi, key_lo) at flush time, selected from the run's first
+    # segment.
     lx, ly, area, cover = unpack_payload(payload)
     rid = jnp.minimum(run_id, run_cap - 1)
     cell = ly * TW + lx
-    grid, rowcov = _build_grid(rid, cell, area, cover, run_cap)
+    # FORMA_RUNKEYS=on|off selects kernel-emitted run keys vs the blocked
+    # compaction.  Default stays OFF until the kernel's key path is
+    # validated + A/B'd on the real chip (interpret mode can't prove Mosaic
+    # lowering); tools/pallas_grid_probe.py + the chip battery flip it.
+    want_keys = os.environ.get("FORMA_RUNKEYS", "off") == "on"
+    grid, rowcov, runkeys = _build_grid(
+        rid, cell, area, cover, run_cap,
+        key_hi=key_hi if want_keys else None,
+        key_lo=key_lo if want_keys else None,
+    )
 
-    # Run metadata by BLOCKED stream compaction: a batched per-block sort
-    # moves boundary segments to each block's front (batched row sorts are
-    # ~free on TPU, unlike one full-array sort), cheap prefix ops map run
-    # ordinals to (block, slot), and the keys arrive via run-count scalar
-    # gathers.  Replaces both the searchsorted of `PrefixScanIter` and a
-    # full-size compaction sort.
-    B = 128
-    assert seg_n % B == 0, "segment capacity must be a multiple of 128"
-    nb = seg_n // B
-    lane = jnp.arange(B, dtype=jnp.int32)[None, :]
-    nr2 = new_run.reshape(nb, B)
-    blk_key = jnp.where(nr2, lane, lane + B)
-    # Unstable sorts throughout: every key set below is unique (lane ids,
-    # full run keys, permutations), so stability only costs XLA a hidden
-    # iota tiebreak operand.
-    blk_key_s, kh_s, kl_s = jax.lax.sort(
-        (blk_key, key_hi.reshape(nb, B), key_lo.reshape(nb, B)),
-        num_keys=1,
-        dimension=1,
-        is_stable=False,
-    )
-    counts = jnp.sum(nr2, axis=1, dtype=jnp.int32)  # boundaries per block
-    offs = jnp.cumsum(counts) - counts  # exclusive: ordinal of block's first
-    bidx = jnp.arange(nb, dtype=jnp.int32)
-    has = counts > 0
-    start_pos = jnp.where(has, offs, run_cap)  # dropped when empty
-    block_of = jax.lax.cummax(
-        jnp.zeros(run_cap, jnp.int32).at[start_pos].max(bidx, mode="drop")
-    )
-    base_of = jax.lax.cummax(
-        jnp.zeros(run_cap, jnp.int32).at[start_pos].max(offs, mode="drop")
-    )
     r = jnp.arange(run_cap, dtype=jnp.int32)
-    slot_in_blk = jnp.minimum(r - base_of, B - 1)
-    # One 2-wide row gather instead of two scalar gathers (gathers cost per
-    # INDEX on TPU, not per byte).
-    kv = jnp.stack([kh_s, kl_s], axis=-1)[block_of, slot_in_blk]  # [R, 2]
-    run_hi = kv[:, 0]
-    run_layer = kv[:, 1]
+    if runkeys is not None:
+        run_hi = runkeys[:, 0]
+        run_layer = runkeys[:, 1]
+    else:
+        # Run metadata by BLOCKED stream compaction: a batched per-block
+        # sort moves boundary segments to each block's front (batched row
+        # sorts are ~free on TPU, unlike one full-array sort), cheap prefix
+        # ops map run ordinals to (block, slot), and the keys arrive via
+        # run-count scalar gathers.  Replaces both the searchsorted of
+        # `PrefixScanIter` and a full-size compaction sort.
+        B = 128
+        assert seg_n % B == 0, "segment capacity must be a multiple of 128"
+        nb = seg_n // B
+        lane = jnp.arange(B, dtype=jnp.int32)[None, :]
+        nr2 = new_run.reshape(nb, B)
+        blk_key = jnp.where(nr2, lane, lane + B)
+        # Unstable sorts throughout: every key set below is unique (lane
+        # ids, full run keys, permutations), so stability only costs XLA a
+        # hidden iota tiebreak operand.
+        blk_key_s, kh_s, kl_s = jax.lax.sort(
+            (blk_key, key_hi.reshape(nb, B), key_lo.reshape(nb, B)),
+            num_keys=1,
+            dimension=1,
+            is_stable=False,
+        )
+        counts = jnp.sum(nr2, axis=1, dtype=jnp.int32)  # boundaries per blk
+        offs = jnp.cumsum(counts) - counts  # ordinal of block's first
+        bidx = jnp.arange(nb, dtype=jnp.int32)
+        has = counts > 0
+        start_pos = jnp.where(has, offs, run_cap)  # dropped when empty
+        block_of = jax.lax.cummax(
+            jnp.zeros(run_cap, jnp.int32).at[start_pos].max(bidx, mode="drop")
+        )
+        base_of = jax.lax.cummax(
+            jnp.zeros(run_cap, jnp.int32).at[start_pos].max(offs, mode="drop")
+        )
+        slot_in_blk = jnp.minimum(r - base_of, B - 1)
+        # One 2-wide row gather instead of two scalar gathers (gathers cost
+        # per INDEX on TPU, not per byte).
+        kv = jnp.stack([kh_s, kl_s], axis=-1)[block_of, slot_in_blk]  # [R,2]
+        run_hi = kv[:, 0]
+        run_layer = kv[:, 1]
     r_valid = (r < num_runs) & (run_hi != SENTINEL)
     run_hi = jnp.where(r_valid, run_hi, SENTINEL)
 

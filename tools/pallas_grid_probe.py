@@ -71,7 +71,7 @@ def main():
     if interp:
         import functools
 
-        fn = functools.partial(grid_pallas.grid_build_pallas)
+        fn = functools.partial(grid_pallas.grid_build_pallas, interpret=True)
     t0 = time.time()
     got_pad = np.asarray(
         jax.device_get(fn(rid, cell, area, cover, run_cap=R)[0])
@@ -101,6 +101,34 @@ def main():
             ts.append(time.time() - t0)
         print(f"{name:50s} {min(ts)*1e3:9.2f} ms")
 
+    # Run-key emission (replaces the blocked-compaction key extraction in
+    # runs.run_data): per-run (key_hi, key_lo) selected from the run's
+    # first segment.
+    rng = np.random.default_rng(1)
+    kh_of_run = rng.integers(0, 2**32, size=R, dtype=np.uint32)
+    kl_of_run = rng.integers(0, 2**32, size=R, dtype=np.uint32)
+    kh_of_run[min(n_runs, R - 1)] = 0xFFFFFFFF  # sentinel run
+    rid_np = np.asarray(rid)
+    key_hi = jnp.asarray(kh_of_run[rid_np])
+    key_lo = jnp.asarray(kl_of_run[rid_np])
+    runkeys = np.asarray(
+        jax.device_get(
+            fn(rid, cell, area, cover, run_cap=R,
+               key_hi=key_hi, key_lo=key_lo)[2]
+        )
+    )[:ok_rows]
+    if np.array_equal(runkeys[:, 0], kh_of_run[:ok_rows]) and np.array_equal(
+        runkeys[:, 1], kl_of_run[:ok_rows]
+    ):
+        print(f"KEYS MATCH on {ok_rows} rows")
+    else:
+        bad = np.argwhere(
+            (runkeys[:, 0] != kh_of_run[:ok_rows])
+            | (runkeys[:, 1] != kl_of_run[:ok_rows])
+        )
+        print(f"KEYS MISMATCH: {len(bad)} runs; first 10: {bad[:10].ravel()}")
+        sys.exit(1)
+
     # Fetch only a checksum — fetching the 318 MB grid itself costs seconds
     # through the tunnel and is not part of the frame (the grid stays on
     # device).
@@ -111,8 +139,17 @@ def main():
     )
     timeit(
         "pallas grid kernel (checksum fetch)",
-        lambda a, b, c, d: fn(a, b, c, d, run_cap=R)[:R].sum(dtype=jnp.int32)[None],
+        lambda a, b, c, d: fn(a, b, c, d, run_cap=R)[0][:R].sum(
+            dtype=jnp.int32
+        )[None],
         rid, cell, area, cover,
+    )
+    timeit(
+        "pallas grid kernel + run keys (checksum fetch)",
+        lambda a, b, c, d, kh, kl: fn(
+            a, b, c, d, run_cap=R, key_hi=kh, key_lo=kl
+        )[0][:R].sum(dtype=jnp.int32)[None],
+        rid, cell, area, cover, key_hi, key_lo,
     )
 
 
