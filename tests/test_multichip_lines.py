@@ -117,6 +117,129 @@ def test_line_sharded_full_bleed_and_band_crossing():
     assert d[pipe.DIAG_SEGS] > 0
 
 
+def test_line_sharded_full_feature_scene():
+    """Every style feature gate — linear + radial gradients, a texture fill,
+    a clip group, non-Over blend modes, EvenOdd — through the LINE-SHARDED
+    path, bit-equal to single-chip.  Guards the sharded pipeline against
+    feature regressions (the other tests here are solid-fill only)."""
+    from forma_tpu import (
+        BlendMode, Color, Composition, Fill, FillRule, Func, GradientBuilder,
+        GradientType, Image, Order, PathBuilder, Point, Props, Style, Texture,
+    )
+    from forma_tpu.math import AffineTransform
+    from forma_tpu.renderer import Renderer
+
+    width, height = 64, 256  # 16 tile rows: 2 per shard
+
+    def rect(x0, y0, x1, y1):
+        return (
+            PathBuilder()
+            .move_to(Point(x0, y0)).line_to(Point(x0, y1))
+            .line_to(Point(x1, y1)).line_to(Point(x1, y0)).build()
+        )
+
+    comp = Composition()
+    # 0: full-bleed linear-gradient background (extends left of viewport).
+    g = (
+        GradientBuilder(Point(0.0, 0.0), Point(0.0, float(height)))
+        .color(Color(0.9, 0.2, 0.1, 1.0))
+        .color(Color(0.1, 0.3, 0.9, 1.0))
+        .build()
+    )
+    comp.get_mut_or_insert_default(Order(0)).insert(
+        rect(-20.5, -8.25, width + 6.0, height + 4.0)
+    ).set_props(Props(func=Func.Draw(Style(fill=Fill.Gradient(g)))))
+    # 1: radial gradient blob with Multiply.
+    rb = GradientBuilder(Point(32.0, 48.0), Point(62.0, 48.0))
+    rb.type(GradientType.Radial)
+    rb.color(Color(1.0, 1.0, 0.2, 1.0)).color(Color(0.2, 1.0, 0.6, 0.0))
+    comp.get_mut_or_insert_default(Order(1)).insert(
+        rect(4.0, 20.0, 60.0, 76.0)
+    ).set_props(
+        Props(
+            func=Func.Draw(
+                Style(fill=Fill.Gradient(rb.build()), blend_mode=BlendMode.Multiply)
+            )
+        )
+    )
+    # 2: texture fill with a fractional-offset transform.
+    rng = np.random.default_rng(7)
+    texels = rng.integers(0, 255, size=(8, 8, 4), dtype=np.uint8)
+    texels[..., 3] = 255
+    img = Image.from_srgba(texels, 8, 8)
+    comp.get_mut_or_insert_default(Order(2)).insert(
+        rect(10.3, 96.6, 54.9, 140.2)
+    ).set_props(
+        Props(
+            func=Func.Draw(
+                Style(
+                    fill=Fill.Texture(
+                        Texture(
+                            transform=AffineTransform(1.0, 0.0, 0.0, 1.0, -10.0, -96.0),
+                            image=img,
+                        )
+                    )
+                )
+            )
+        )
+    )
+    # 3: EvenOdd self-overlapping bowtie with Screen.
+    bow = (
+        PathBuilder()
+        .move_to(Point(8.0, 150.0)).line_to(Point(56.0, 190.0))
+        .line_to(Point(8.0, 190.0)).line_to(Point(56.0, 150.0)).build()
+    )
+    comp.get_mut_or_insert_default(Order(3)).insert(bow).set_props(
+        Props(
+            fill_rule=FillRule.EvenOdd,
+            func=Func.Draw(Style(fill=Fill.Solid(Color(0.2, 0.9, 0.4, 0.8)),
+                                 blend_mode=BlendMode.Screen)),
+        )
+    )
+    # 4: a clip spanning two shard bands, clipping 5 and 6.
+    comp.get_mut_or_insert_default(Order(4)).insert(
+        custom_circle_path(32.0, 216.0, 30.0)
+    ).set_props(Props(func=Func.Clip(2)))
+    comp.get_mut_or_insert_default(Order(5)).insert(
+        rect(0.0, 196.0, 64.0, 236.0)
+    ).set_props(
+        Props(func=Func.Draw(Style(fill=Fill.Solid(Color(0.9, 0.9, 0.1, 0.9)),
+                                   is_clipped=True)))
+    )
+    comp.get_mut_or_insert_default(Order(6)).insert(
+        rect(16.0, 204.0, 48.0, 252.0)
+    ).set_props(
+        Props(func=Func.Draw(Style(fill=Fill.Solid(Color(0.5, 0.1, 0.8, 0.6)),
+                                   is_clipped=True)))
+    )
+
+    r = Renderer()
+    frame_s, _ = r.render_device_sharded_lines(
+        comp, width, height, Color(1.0, 1.0, 1.0, 1.0), n_shards=8
+    )
+    frame_1, _ = Renderer().render_device(
+        comp, width, height, Color(1.0, 1.0, 1.0, 1.0)
+    )
+    np.testing.assert_array_equal(np.asarray(frame_s), np.asarray(frame_1))
+
+
+def custom_circle_path(x, y, radius):
+    import math
+
+    from forma_tpu import PathBuilder, Point
+
+    w = math.sqrt(2) / 2
+    return (
+        PathBuilder()
+        .move_to(Point(x + radius, y))
+        .rat_quad_to(Point(x + radius, y + radius), Point(x, y + radius), w)
+        .rat_quad_to(Point(x - radius, y + radius), Point(x - radius, y), w)
+        .rat_quad_to(Point(x - radius, y - radius), Point(x, y - radius), w)
+        .rat_quad_to(Point(x + radius, y - radius), Point(x + radius, y), w)
+        .build()
+    )
+
+
 def test_line_sharded_renderer_facade():
     """`Renderer.render_device_sharded_lines` end to end, including the
     exchange-capacity growth loop (start xcap at the floor to force growth)."""
