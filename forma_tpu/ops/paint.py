@@ -57,10 +57,15 @@ def _fold_backend() -> str:
     env = os.environ.get("FORMA_FOLD")
     if env in ("xla", "pallas"):
         return env
-    # Default stays XLA until the kernel beats the wave fold in a
-    # committed-state A/B (the TB=8 revision measured 9.67 vs 10.43 FPS;
-    # the TB=32 + MXU-prefix revision is pending TPU time).
-    return "xla"
+    # Default: the Pallas VMEM-resident fold on TPU.  The TB=32 + MXU-prefix
+    # revision won its committed-state A/B on the real chip (paris@1080p:
+    # 10.82 FPS wave -> 11.75 FPS pallas, goldens bit-exact); the TB=8
+    # revision had lost (9.67 vs 10.43) and stayed off.  Non-TPU backends
+    # keep the XLA wave fold (the kernel's DMA/MXU layout is TPU-tuned and
+    # interpret mode is test-only).
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 def _fold_pallas_eligible(features: "Features", k_slots: int) -> bool:
@@ -864,7 +869,12 @@ def paint(
         elif env:
             wave = tuple(int(v) for v in env.split(","))
         else:
-            wave = (4, 256)
+            # DP-derived fractional ladder (tools/wave_schedule_probe.py):
+            # 1.17x ideal tile-steps vs the geometric (4,256) ladder's
+            # 1.44x, dominant on every tested depth shape; on-chip A/B
+            # measured 10.82 -> 10.92 FPS with the XLA wave fold active
+            # (schedule provably cannot change output — bit-equal verified).
+            wave = (0.38, 0.17, 0.09, 0.03)
     if any(isinstance(v, float) for v in wave):
         prefixes = sorted(
             {min(n_tiles, max(1, int(-(-f * n_tiles // 1)))) for f in wave}
