@@ -63,8 +63,6 @@ def _fold_backend() -> str:
     # revision had lost (9.67 vs 10.43) and stayed off.  Non-TPU backends
     # keep the XLA wave fold (the kernel's DMA/MXU layout is TPU-tuned and
     # interpret mode is test-only).
-    import jax
-
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 

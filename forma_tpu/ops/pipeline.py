@@ -62,16 +62,19 @@ def _unit_tiles(key_u, u_valid, tiles_x, n_tiles):
     return jnp.where(u_valid, rowb * tiles_x + txu, n_tiles)
 
 
-def _slot_bits(st, rows: int, tiles_x: int) -> int:
+def slot_bits_for(n_slots: int, rows: int, tiles_x: int) -> int:
     """Bits for the layer slot in the packed single-u32 sort key; 0 when
     [row | tx | slot] cannot fit 31 bits (two-key fallback)."""
-    sl = st["orders"].shape[0]
-    slot_bits = max((sl - 1).bit_length(), 1)
+    slot_bits = max((n_slots - 1).bit_length(), 1)
     row_bits = (rows + 1).bit_length()
     tx_bits = max((tiles_x + 1).bit_length(), 1)
     if row_bits + tx_bits + slot_bits > 31:
         return 0
     return slot_bits
+
+
+def _slot_bits(st, rows: int, tiles_x: int) -> int:
+    return slot_bits_for(st["orders"].shape[0], rows, tiles_x)
 
 
 def _core(

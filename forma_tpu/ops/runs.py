@@ -159,7 +159,9 @@ def run_data(
     # (tools/pallas_grid_probe.py: KEYS MATCH on 295k runs, +0.85 ms in
     # kernel) and the committed-state A/B measured 10.82 -> 11.17 FPS on
     # paris@1080p (the blocked compaction it replaces cost ~3 ms).
-    want_keys = os.environ.get("FORMA_RUNKEYS", "on") != "off"
+    want_keys = os.environ.get("FORMA_RUNKEYS", "on").lower() not in (
+        "off", "0", "false",
+    )
     grid, rowcov, runkeys = _build_grid(
         rid, cell, area, cover, run_cap,
         key_hi=key_hi if want_keys else None,

@@ -655,7 +655,11 @@ class Renderer:
         each chip rasterizes and sorts only its own ~1/N of the lines, an
         `all_to_all` exchanges pixel segments to their destination row bands
         over ICI, and each chip sorts + paints the ~1/N segments it owns —
-        the whole pipeline scales, not just the back half."""
+        the whole pipeline scales, not just the back half.
+
+        Scenes whose [row | tx | slot] key exceeds 31 bits cannot use the
+        packed single-u32 sort key this path requires; they transparently
+        fall back to the row-sharded `render_device_sharded`."""
         import jax
         import jax.numpy as jnp
 
@@ -663,6 +667,16 @@ class Renderer:
         n = n_shards or len(devs)
         if len(devs) < n:
             raise ValueError(f"need {n} devices, have {len(devs)}")
+        # Packed-key pre-check (the pipeline would raise ValueError): wide
+        # scenes route to the row-sharded path instead of failing.
+        rows_total_pc = -(-height // consts.TILE_HEIGHT)
+        tiles_x_pc = -(-width // consts.TILE_WIDTH)
+        n_slots = max(len(composition.layers), 1)
+        if _pipe.slot_bits_for(n_slots, rows_total_pc, tiles_x_pc) == 0:
+            return self.render_device_sharded(
+                composition, width, height, clear_color, channels,
+                n_shards=n_shards, check_caps=check_caps,
+            )
         mesh = getattr(self, "_mesh_cache", None)
         if mesh is None or mesh.devices.size != n:
             mesh = jax.make_mesh((n,), ("rows",), devices=devs[:n])

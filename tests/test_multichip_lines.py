@@ -258,3 +258,44 @@ def test_line_sharded_renderer_facade():
     r1 = Renderer()
     frame_1, _ = r1.render_device(comp, width, height, Color(1.0, 1.0, 1.0, 1.0))
     np.testing.assert_array_equal(np.asarray(frame_s), np.asarray(frame_1))
+
+
+def test_slot_bits_wide_key_detection():
+    """[row | tx | slot] > 31 bits must report 0 (two-key fallback)."""
+    from forma_tpu.ops import pipeline as pipe
+
+    # 1080p-ish grid: 68 rows (7 bits) x 120 tiles (7 bits) leaves 17 slot
+    # bits; 2^17 layers fit, 2^17 + 1 do not.
+    assert pipe.slot_bits_for(1 << 17, 68, 120) == 17
+    assert pipe.slot_bits_for((1 << 17) + 1, 68, 120) == 0
+    # Max render target (65536 x 32768 px -> 2048 rows, 4096 tiles) with the
+    # full 2^21 - 1 layer space can never pack.
+    assert pipe.slot_bits_for(2_097_151, 2048, 4096) == 0
+
+
+def test_line_sharded_facade_wide_key_fallback(monkeypatch):
+    """When the packed u32 key cannot fit, the facade must transparently
+    route to the row-sharded path instead of raising (forced via the
+    slot-bits pre-check — building 2^17 real layers is not practical in a
+    unit test, and the routing decision is what's under test)."""
+    from forma_tpu import Color, Composition
+    from forma_tpu.demos import scenes
+    from forma_tpu.ops import pipeline as pipe
+    from forma_tpu.renderer import Renderer
+
+    comp = Composition()
+    width, height = 64, 256
+    scenes.circles(comp, 12, width, height)
+
+    monkeypatch.setattr(pipe, "slot_bits_for", lambda *_: 0)
+    r = Renderer()
+    frame_s, d = r.render_device_sharded_lines(
+        comp, width, height, Color(1.0, 1.0, 1.0, 1.0), n_shards=8
+    )
+    frame_1, _ = Renderer().render_device(
+        comp, width, height, Color(1.0, 1.0, 1.0, 1.0)
+    )
+    # The row-sharded result is bit-equal to single-chip.
+    np.testing.assert_array_equal(
+        np.asarray(frame_s)[:height], np.asarray(frame_1)[:height]
+    )
