@@ -233,7 +233,10 @@ def _expand_emit_packed(
 
         iota_v = jnp.arange(v_cap, dtype=jnp.uint32)
         v_live = iota_v < v_total
-        PT, j = expand_params_pallas(params, lengths > 0, vline_ends, v_cap)
+        PT, j = expand_params_pallas(
+            params, lengths > 0, vline_ends, v_cap,
+            interpret=jax.default_backend() != "tpu",
+        )
         col = lambda i: PT[i]  # noqa: E731
     else:
         iota_v = jnp.arange(v_cap, dtype=jnp.uint32)
@@ -325,7 +328,10 @@ def rasterize_sort(
         if backend == "pallas":
             from .expand_pallas import expand_params_pallas
 
-            PT, j = expand_params_pallas(params, lengths > 0, vline_ends, v_cap)
+            PT, j = expand_params_pallas(
+            params, lengths > 0, vline_ends, v_cap,
+            interpret=jax.default_backend() != "tpu",
+        )
             col = lambda i: PT[i]  # noqa: E731
         else:
             ends = jnp.minimum(vline_ends, jnp.uint32(v_cap)).astype(jnp.int32)
