@@ -1,8 +1,18 @@
-"""Benchmark: paris-30k-style city map at 1080p on the default device.
+"""Benchmark: the BASELINE.md config matrix on the default device.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline (BASELINE.md): the reference's north-star target of 60 FPS at 1080p
-on one v5e chip; vs_baseline = fps / 60.
+Default (no --scene): runs the full suite — one JSON line per config, the
+headline paris-30k@1080p line LAST (the driver parses the final line):
+
+  solid256           single solid-fill path at 256x256 (dispatch floor)
+  styled 1080p       multi-layer gradient + blend-mode city scene
+  spaceship          damage-cached incremental animation
+  paris 4K animated  per-frame rotation at 3840x2160 (re-sort + repaint)
+  paris 1080p anim   per-frame rotation at 1920x1080
+  paris 1080p        the headline config (vs the 60 FPS north star)
+
+With --scene X, runs that one config (A/B workflows).  Baseline
+(BASELINE.md): the reference's north-star target of 60 FPS at 1080p on one
+v5e chip; vs_baseline = fps / 60 for every config.
 
 The reference's paris-30k.svg asset is not distributed; the scene is a
 deterministic synthesized equivalent (~30k paths: buildings, roads, parks;
@@ -11,20 +21,19 @@ see forma_tpu/demos/scenes.py).
 Timing methodology: frames dispatch back-to-back WITHOUT per-frame host
 fences (on this TPU stack a host round-trip costs ~28 ms and
 `block_until_ready` is unreliable); the clock stops on a `device_get` of the
-last frame's checksum, and every frame's diagnostics are fetched afterwards
+last frame's pixels, and every frame's diagnostics are fetched afterwards
 to assert no capacity bucket overflowed mid-run (a silent overflow would
 drop segments and fake speed).
 
 Bit-exactness guard: unless --no-verify, the run first renders every
 reference golden scene on the SAME device and compares against the goldens
-(tolerance 8/255, `e2e-tests/tests/test_env.rs:278`); the JSON line carries
-"goldens_ok".  A perf change that corrupts output flips goldens_ok to false
-instead of showing up as a speedup (two round-2 optimizations failed exactly
-this way; see docs/ARCHITECTURE.md).
+(tolerance 8/255, `e2e-tests/tests/test_env.rs:278`); the headline JSON line
+carries "goldens_ok".  A perf change that corrupts output flips goldens_ok
+to false instead of showing up as a speedup (two round-2 optimizations
+failed exactly this way; see docs/ARCHITECTURE.md).
 
-Flags: --paths N, --frames N, --width/--height, --scene {paris,circles},
---animate (per-frame full-scene transform changes: re-sort + repaint stress),
---shard N (shard the framebuffer over an N-device mesh), --no-verify.
+Flags: --scene {paris,styled,circles,spaceship,solid}, --paths N, --frames N,
+--width/--height, --animate, --shard N, --trace DIR, --no-verify.
 """
 
 from __future__ import annotations
@@ -77,104 +86,83 @@ def verify_goldens() -> tuple:
     return n_pass, n_total
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--paths", type=int, default=30000)
-    ap.add_argument("--frames", type=int, default=20)
-    ap.add_argument("--width", type=int, default=1920)
-    ap.add_argument("--height", type=int, default=1080)
-    ap.add_argument(
-        "--scene", default="paris",
-        choices=["paris", "circles", "spaceship"],
-    )
-    ap.add_argument("--animate", action="store_true")
-    ap.add_argument("--verbose", action="store_true")
-    ap.add_argument(
-        "--trace", default=None, metavar="DIR",
-        help="capture a jax.profiler trace of the timed frames into DIR",
-    )
-    ap.add_argument(
-        "--no-verify", action="store_true",
-        help="skip the golden bit-exactness check before timing",
-    )
-    ap.add_argument(
-        "--shard", type=int, default=0, metavar="N",
-        help="shard the framebuffer by tile rows over an N-device mesh "
-        "(requires >= N JAX devices; see conftest for the virtual CPU mesh)",
-    )
-    args = ap.parse_args()
+def bench_spaceship(width, height, frames, verbose=False) -> dict:
+    """Damaged-tile animation config (BASELINE.md): per-frame transform/
+    order mutations through the CACHED path, fetching pixels into a host
+    buffer every frame — the incremental-update workload the reference's
+    spaceship demo showcases."""
+    import numpy as np
 
+    from forma_tpu import Buffer, Color, Composition, LinearLayout
+    from forma_tpu.demos.spaceship import Spaceship
+    from forma_tpu.renderer import Renderer
+
+    comp = Composition()
+    ship = Spaceship(width=width, height=height)
+    ship.build(comp)
+    renderer = Renderer()
+    cache = renderer.create_buffer_layer_cache()
+    backing = np.zeros((height, width * 4), np.uint8)
+    buf = Buffer(
+        buffer=backing,
+        layout=LinearLayout(width, width * 4, height),
+        layer_cache=cache,
+    )
+    clear = Color(0.02, 0.02, 0.08, 1.0)
+    for _ in range(3):  # warm: compile + caps + cache priming
+        ship.step()
+        renderer.render_into(comp, buf, clear)
+    t0 = time.time()
+    for _ in range(frames):
+        ship.step()
+        renderer.render_into(comp, buf, clear)
+    dt = time.time() - t0
+    fps = frames / dt
+    return {
+        "metric": f"spaceship_{width}x{height}_damage_cached_fps",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 60.0, 4),
+    }
+
+
+def bench_scene(
+    scene, width, height, frames, paths=30000, animate=False, shard=0,
+    trace=None, verbose=False,
+) -> dict:
+    """Full-repaint pipeline configs: paris / styled / circles / solid."""
     import jax
     import numpy as np
 
-    import forma_tpu
     from forma_tpu import Color, Composition
-
-    forma_tpu.enable_compilation_cache()
     from forma_tpu.demos import scenes
     from forma_tpu.ops import pipeline as pipe
     from forma_tpu.renderer import Renderer
 
-    goldens_ok = None
-    if not args.no_verify:
-        t0 = time.time()
-        n_pass, n_total = verify_goldens()
-        goldens_ok = bool(n_total > 0 and n_pass == n_total)
-        print(
-            f"# goldens: {n_pass}/{n_total} bit-exact (tol 8/255) in "
-            f"{time.time()-t0:.1f}s",
-            file=sys.stderr,
-        )
-
-    if args.scene == "spaceship":
-        # Damaged-tile animation config (BASELINE.md): per-frame transform/
-        # order mutations through the CACHED path, fetching pixels into a
-        # host buffer every frame — the incremental-update workload the
-        # reference's spaceship demo showcases.
-        from forma_tpu import Buffer, LinearLayout
-        from forma_tpu.demos.spaceship import Spaceship
-
-        comp = Composition()
-        ship = Spaceship(width=args.width, height=args.height)
-        ship.build(comp)
-        renderer = Renderer()
-        cache = renderer.create_buffer_layer_cache()
-        backing = np.zeros((args.height, args.width * 4), np.uint8)
-        buf = Buffer(
-            buffer=backing,
-            layout=LinearLayout(args.width, args.width * 4, args.height),
-            layer_cache=cache,
-        )
-        clear = Color(0.02, 0.02, 0.08, 1.0)
-        for _ in range(3):  # warm: compile + caps + cache priming
-            ship.step()
-            renderer.render_into(comp, buf, clear)
-        n = args.frames
-        t0 = time.time()
-        for _ in range(n):
-            ship.step()
-            renderer.render_into(comp, buf, clear)
-        dt = time.time() - t0
-        fps = n / dt
-        out = {
-            "metric": (
-                f"spaceship_{args.width}x{args.height}_damage_cached_fps"
-            ),
-            "value": round(fps, 3),
-            "unit": "frames/s",
-            "vs_baseline": round(fps / 60.0, 4),
-        }
-        if goldens_ok is not None:
-            out["goldens_ok"] = goldens_ok
-        print(json.dumps(out))
-        return
-
     t0 = time.time()
     comp = Composition()
-    if args.scene == "paris":
-        scenes.paris30k(comp, args.width, args.height, paths=args.paths)
+    if scene == "paris":
+        scenes.paris30k(comp, width, height, paths=paths)
+    elif scene == "styled":
+        scenes.paris30k_styled(comp, width, height, paths=paths)
+    elif scene == "solid":
+        # BASELINE.md's "single solid-fill path" config: one 256x256 black
+        # square — measures the pipeline dispatch floor.
+        from forma_tpu import Fill, Func, Order, PathBuilder, Point, Props, Style
+
+        sq = (
+            PathBuilder()
+            .move_to(Point(16.0, 16.0))
+            .line_to(Point(16.0, float(height - 16)))
+            .line_to(Point(float(width - 16), float(height - 16)))
+            .line_to(Point(float(width - 16), 16.0))
+            .build()
+        )
+        comp.get_mut_or_insert_default(Order(0)).insert(sq).set_props(
+            Props(func=Func.Draw(Style(fill=Fill.Solid(Color(0, 0, 0, 1)))))
+        )
     else:
-        scenes.circles(comp, args.paths, args.width, args.height)
+        scenes.circles(comp, paths, width, height)
     build_s = time.time() - t0
 
     renderer = Renderer()
@@ -200,19 +188,19 @@ def main():
     # Warm up: compile + capacity growth (including the animated extremes so
     # steady-state frames never regrow).
     t0 = time.time()
-    frame, diag = renderer.render_device(comp, args.width, args.height, clear)
-    if args.animate:
-        comp.set_transforms(orders, frame_transform(args.frames - 1))
-        frame, diag = renderer.render_device(comp, args.width, args.height, clear)
+    frame, diag = renderer.render_device(comp, width, height, clear)
+    if animate:
+        comp.set_transforms(orders, frame_transform(frames - 1))
+        frame, diag = renderer.render_device(comp, width, height, clear)
         comp.set_transforms(orders, frame_transform(0))
-        frame, diag = renderer.render_device(comp, args.width, args.height, clear)
-    if args.shard:
+        frame, diag = renderer.render_device(comp, width, height, clear)
+    if shard:
         frame, diag = renderer.render_device_sharded(
-            comp, args.width, args.height, clear, n_shards=args.shard
+            comp, width, height, clear, n_shards=shard
         )
     jax.device_get(diag)
     warm_s = time.time() - t0
-    if args.verbose:
+    if verbose:
         print(
             f"# build {build_s:.1f}s warmup {warm_s:.1f}s "
             f"vlines={diag[pipe.DIAG_VLINES]} runs={diag[pipe.DIAG_RUNS]} "
@@ -222,29 +210,29 @@ def main():
         )
 
     caps = renderer._caps
-    n = args.frames
+    n = frames
     import contextlib
 
     for _attempt in range(3):
         trace_cm = (
-            jax.profiler.trace(args.trace)
-            if args.trace and _attempt == 0
+            jax.profiler.trace(trace)
+            if trace and _attempt == 0
             else contextlib.nullcontext()
         )
         diags = []
         t0 = time.time()
         with trace_cm:
             for i in range(n):
-                if args.animate:
+                if animate:
                     comp.set_transforms(orders, frame_transform(i))
-                if args.shard:
+                if shard:
                     frame, diag = renderer.render_device_sharded(
-                        comp, args.width, args.height, clear,
-                        n_shards=args.shard, check_caps=False,
+                        comp, width, height, clear,
+                        n_shards=shard, check_caps=False,
                     )
                 else:
                     frame, diag = renderer.render_device(
-                        comp, args.width, args.height, clear, check_caps=False
+                        comp, width, height, clear, check_caps=False
                     )
                 diags.append(diag)
             # Fence on actual pixels of the last frame.
@@ -261,33 +249,129 @@ def main():
         if ok:
             break
         # Grow to the observed maxima and re-time.
-        renderer.render_device(comp, args.width, args.height, clear)
+        renderer.render_device(comp, width, height, clear)
         caps = renderer._caps
-        if args.verbose:
+        if verbose:
             print(f"# capacity regrew to {caps}; re-timing", file=sys.stderr)
 
     fps = n / dt
     segs_per_s = float(ds[-1, pipe.DIAG_SEGS]) * fps
-    if args.verbose:
+    if verbose:
         print(
             f"# {fps:.2f} FPS, {dt / n * 1000:.1f} ms/frame, "
             f"{segs_per_s / 1e6:.1f} M pixel-segments/s",
             file=sys.stderr,
         )
 
-    name = "paris30k" if args.scene == "paris" else f"circles{args.paths}"
-    suffix = "_animated" if args.animate else ""
-    if args.shard:
-        suffix += f"_shard{args.shard}"
-    out = {
-        "metric": f"{name}_{args.width}x{args.height}{suffix}_fps",
+    names = {
+        "paris": "paris30k",
+        "styled": "paris30k_styled",
+        "solid": "solid1",
+        "circles": f"circles{paths}",
+    }
+    suffix = "_animated" if animate else ""
+    if shard:
+        suffix += f"_shard{shard}"
+    return {
+        "metric": f"{names[scene]}_{width}x{height}{suffix}_fps",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 60.0, 4),
+        "segments_per_s": round(segs_per_s),
     }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--paths", type=int, default=30000)
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument(
+        "--scene", default=None,
+        choices=["paris", "styled", "circles", "spaceship", "solid"],
+        help="run ONE config; default runs the whole BASELINE.md suite",
+    )
+    ap.add_argument("--animate", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument(
+        "--trace", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the timed frames into DIR",
+    )
+    ap.add_argument(
+        "--no-verify", action="store_true",
+        help="skip the golden bit-exactness check before timing",
+    )
+    ap.add_argument(
+        "--shard", type=int, default=0, metavar="N",
+        help="shard the framebuffer by tile rows over an N-device mesh "
+        "(requires >= N JAX devices; see conftest for the virtual CPU mesh)",
+    )
+    args = ap.parse_args()
+
+    import forma_tpu
+
+    forma_tpu.enable_compilation_cache()
+
+    goldens_ok = None
+    if not args.no_verify:
+        t0 = time.time()
+        n_pass, n_total = verify_goldens()
+        goldens_ok = bool(n_total > 0 and n_pass == n_total)
+        print(
+            f"# goldens: {n_pass}/{n_total} bit-exact (tol 8/255) in "
+            f"{time.time()-t0:.1f}s",
+            file=sys.stderr,
+        )
+
+    if args.scene == "spaceship":
+        out = bench_spaceship(args.width, args.height, args.frames, args.verbose)
+        if goldens_ok is not None:
+            out["goldens_ok"] = goldens_ok
+        print(json.dumps(out))
+        return
+    if args.scene is not None:
+        out = bench_scene(
+            args.scene, args.width, args.height, args.frames,
+            paths=args.paths, animate=args.animate, shard=args.shard,
+            trace=args.trace, verbose=args.verbose,
+        )
+        if goldens_ok is not None:
+            out["goldens_ok"] = goldens_ok
+        print(json.dumps(out))
+        return
+
+    # The suite (BASELINE.md "configs to benchmark").  Headline last.
+    def emit(out):
+        print(json.dumps(out), flush=True)
+
+    emit(bench_scene("solid", 256, 256, args.frames, verbose=args.verbose))
+    emit(
+        bench_scene(
+            "styled", 1920, 1080, args.frames, paths=args.paths,
+            verbose=args.verbose,
+        )
+    )
+    emit(bench_spaceship(1920, 1080, args.frames, args.verbose))
+    emit(
+        bench_scene(
+            "paris", 3840, 2160, args.frames, paths=args.paths,
+            animate=True, verbose=args.verbose,
+        )
+    )
+    emit(
+        bench_scene(
+            "paris", 1920, 1080, args.frames, paths=args.paths,
+            animate=True, verbose=args.verbose,
+        )
+    )
+    out = bench_scene(
+        "paris", 1920, 1080, args.frames, paths=args.paths,
+        verbose=args.verbose,
+    )
     if goldens_ok is not None:
         out["goldens_ok"] = goldens_ok
-    print(json.dumps(out))
+    emit(out)
 
 
 if __name__ == "__main__":
