@@ -69,7 +69,11 @@ def paint(
     tile_y = segs.tile_y
     hor = vert = None
     if crop is not None:
-        hor, vert = crop
+        # Rect (tile ranges) or a bare (hor, vert) tuple of tile ranges.
+        hor = getattr(crop, "hor", None)
+        vert = getattr(crop, "vert", None)
+        if hor is None:
+            hor, vert = crop
 
     for row in range(rows):
         if vert is not None and not (vert.start <= row < vert.stop):

@@ -66,15 +66,78 @@ def _fold_backend() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
-def _fold_pallas_eligible(features: "Features", k_slots: int) -> bool:
-    """The Pallas fold covers the solid-fill Over-only common path; frames
-    needing blend modes, clips, gradients or textures take the wave fold."""
+def _fold_pallas_eligible(features: "Features", k_slots: int, ms: int) -> bool:
+    """The Pallas fold covers solid + gradient fills, all 16 blend modes,
+    clips, and cached/cropped frames.  Texture frames take the wave fold (a
+    texture unit needs per-pixel atlas gathers — a recorded cost-model
+    negative, see ops/paint_pallas.py docstring), as do frames whose
+    gradient stop capacity overflows the unit row's lane budget or whose
+    fold depth exceeds the VMEM window."""
+    from . import paint_pallas as _pp
+
     return (
-        features.blend_modes == (0,)
-        and not features.has_clip
-        and not features.has_gradient
-        and not features.has_texture
+        not features.has_texture
         and k_slots <= 256
+        and 256 + 16 + _pp.style_layout(features, ms).width <= _pp.UW
+    )
+
+
+def style_pack_for_fold(
+    features,
+    st_orders, st_pidx, st_fill_rule, st_func, st_clip_n, st_is_clipped,
+    st_blend, st_fill_type, st_color, st_grad, st_stops,
+):
+    """Per-layer-slot style rows in the Pallas fold's FEATURE-DEPENDENT
+    lane layout (`paint_pallas.style_layout`), i32 [SL, lay.width].  Built
+    as one [P]-row matrix + ONE [SL]-index gather by pidx.  Lane groups
+    the frame's features don't need are omitted entirely — the per-unit
+    gather downstream costs per LANE beyond ~8 lanes (a solid/Over frame
+    at the full 38-lane row measured +18 ms/frame,
+    tools/fold_prep_probe.py)."""
+    from . import paint_pallas as _pp
+
+    P = st_color.shape[0]
+    ms = st_stops.shape[1]
+    lay = _pp.style_layout(features, ms)
+    cols = [
+        jax.lax.bitcast_convert_type(st_color, jnp.int32),  # 4
+        st_fill_rule[:, None],
+    ]
+    if lay.blend >= 0:
+        cols.append(st_blend[:, None])
+    if lay.ft >= 0:
+        cols.append(st_fill_type[:, None])
+    if lay.func >= 0:
+        cols.extend(
+            [
+                st_func[:, None],
+                jnp.zeros((P, 1), jnp.int32),  # layer id (per slot, below)
+                st_clip_n[:, None],  # becomes cend below
+                st_is_clipped[:, None].astype(jnp.int32),
+            ]
+        )
+    if lay.grad >= 0:
+        cols.extend(
+            [
+                jax.lax.bitcast_convert_type(st_grad, jnp.int32),  # 6
+                jax.lax.bitcast_convert_type(
+                    st_stops.reshape(P, 5 * ms), jnp.int32
+                ),
+            ]
+        )
+    p_mat = jnp.concatenate(cols, axis=1)  # [P, lay.width]
+    sl = p_mat[st_pidx]  # the one gather
+    if lay.func < 0:
+        return sl
+    layer_id = (st_orders & jnp.uint32(consts.LAYER_LIMIT)).astype(jnp.int32)
+    return jnp.concatenate(
+        [
+            sl[:, : lay.layer],
+            layer_id[:, None],
+            (layer_id + sl[:, lay.cend])[:, None],
+            sl[:, lay.clipped :],
+        ],
+        axis=1,
     )
 
 
@@ -82,14 +145,19 @@ def _paint_fold_pallas(
     key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid,
     grid, carry_in_s, carry_after_s, style_s,
     clear_color, rows: int, tiles_x: int, k_slots: int,
+    features: "Features", ms: int, row_lo=0, tile_unchanged=None,
     interpret: bool = False,
 ):
     """XLA-side prep + Pallas fold; returns the frame as [T, TH, TW, 4] f32.
 
-    Builds the per-unit matrix U (grid row | carry | fill | fill-rule), the
+    Builds the per-unit matrix U (grid row | carry | style row), the
     per-tile unit spans, and the per-block SMEM descriptors, then runs the
-    VMEM-resident fold (ops/paint_pallas.py).  Bit-compatible with the wave
-    fold: same integer coverage math, same blend expression tree.
+    VMEM-resident fold (ops/paint_pallas.py), specialized on the frame's
+    static features.  Bit-compatible with the wave fold: same integer
+    coverage math, same fill/blend/clip expression trees.  Skipped tiles
+    (damage cache / crop) fold zero units and come back as the clear color,
+    exactly like the wave fold's skip mask; the caller re-emits previous
+    pixels for them.
     """
     from . import paint_pallas as _pp
 
@@ -99,6 +167,8 @@ def _paint_fold_pallas(
     nblk = t8 // TBp
     u_cap = key_u.shape[0]
     run_cap = grid.shape[0]
+    lay = _pp.style_layout(features, ms)
+    assert style_s.shape[1] == lay.width, (style_s.shape, lay)
 
     rowb = (key_u >> TX_BITS).astype(jnp.int32) - 1
     txu = (key_u & jnp.uint32((1 << TX_BITS) - 1)).astype(jnp.int32) - 1
@@ -127,8 +197,14 @@ def _paint_fold_pallas(
     ust = jnp.flip(jax.lax.cummin(jnp.flip(ust)))
     depth = ust[1:] - ust[:-1]  # [t8] true per-tile unit counts
     cnt = jnp.minimum(depth, k_slots)
+    if tile_unchanged is not None:
+        # Skipped tiles (damage cache / crop) fold zero units: the kernel
+        # leaves them at the clear color and the caller re-emits previous
+        # pixels — the same contract as the wave fold's skip mask.
+        skip = jnp.pad(tile_unchanged, (0, t8 - n_tiles))
+        cnt = jnp.where(skip, 0, cnt)
 
-    # The unit matrix: [grid row (zero for virtual) | carry | rgba | fr].
+    # The unit matrix: [grid row (zero for virtual) | carry | style row].
     virt = (virt_u & FLAG_VIRTUAL) != 0
     g_rows = jnp.where(
         (virt | ~u_valid)[:, None], 0, grid[jnp.minimum(src_u, run_cap - 1)]
@@ -139,10 +215,21 @@ def _paint_fold_pallas(
             jnp.concatenate([carry_after_s, style_s], axis=1),
         ],
         axis=0,
-    )  # [2R, 21]
+    )  # [2R, 16 + sw]
     cidx = jnp.minimum(src2_u, run_cap - 1) + jnp.where(virt, run_cap, 0)
-    m_rows = carr_ext[cidx]  # [u_cap, 21]
-    u_mat = jnp.concatenate([g_rows, m_rows], axis=1)  # [u_cap, 277]
+    m_rows = carr_ext[cidx]  # [u_cap, 16 + sw]
+    if features.has_clip:
+        # Draws whose governing full clip was dropped draw unclipped
+        # (`skip_trivial_clips`, FLAG_UNCLIPPED) — a per-UNIT bit, fixed up
+        # on the gathered style lane (elementwise, no extra gather).
+        unclip = (virt_u & FLAG_UNCLIPPED) != 0
+        lane = jnp.arange(m_rows.shape[1], dtype=jnp.int32)
+        m_rows = jnp.where(
+            (lane == 16 + lay.clipped)[None, :] & unclip[:, None],
+            0,
+            m_rows,
+        )
+    u_mat = jnp.concatenate([g_rows, m_rows], axis=1)  # [u_cap, 272 + sw]
     win = -(-(TBp * k_slots + _pp.CH + 8) // _pp.CH) * _pp.CH
     u_mat = jnp.pad(u_mat, ((0, win), (0, _pp.UW - u_mat.shape[1])))
 
@@ -156,18 +243,26 @@ def _paint_fold_pallas(
         -(-(span_end - start_al) // _pp.CH), win // _pp.CH
     )
     nch = jnp.where(kmax > 0, nch, 0)
+    # Per-tile global pixel origins (gradient coordinate space; row_lo
+    # offsets sharded framebuffers into absolute rows).
+    tile_i = jnp.arange(t8, dtype=jnp.int32)
+    x0_t = ((tile_i % tiles_x) * TW).reshape(nblk, TBp)
+    y0_t = ((tile_i // tiles_x + jnp.int32(row_lo)) * TH).reshape(nblk, TBp)
     blkinfo = jnp.concatenate(
         [
             start_al[:, None], nch[:, None], kmax[:, None],
             jnp.zeros((nblk, 5), jnp.int32),
             ust_t - start_al[:, None],
             cnt_t,
+            x0_t,
+            y0_t,
         ],
         axis=1,
     )  # [nblk, BI_W]
 
     out = _pp.paint_fold_pallas(
-        u_mat, blkinfo, clear_color, k_slots=k_slots, interpret=interpret
+        u_mat, blkinfo, clear_color, k_slots=k_slots,
+        features=features, ms=ms, interpret=interpret,
     )
     return out[:n_tiles].reshape(n_tiles, 4, TH, TW).transpose(0, 2, 3, 1)
 
@@ -433,15 +528,18 @@ def _renumber_units(key_u, layer_u, src_u, src2_u, virt_u, keep):
     return key2, layer_u, src_u, src2_u, virt_u, k2, u_valid, k_needed
 
 
-@jax.jit
-def skip_trivial_clips(key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid, id_u, cend_u, clipped_u):
-    """`skip_trivial_clips_pass` (`passes/skip_trivial_clips.rs:27-112`):
-    clipped draw layers outside any active clip range are invisible and
-    drop; clip units no clipped layer references drop; FULL-cover clips
-    admit everything, so they drop too and the draws they govern get
-    FLAG_UNCLIPPED (paint then skips the clip-mask multiply — numerically
-    identical since a full clip's mask is exactly 1.0, but one fewer fold
-    slot per tile).
+def skip_trivial_clips_keep(key_u, virt_u, u_valid, id_u, cend_u, clipped_u):
+    """`skip_trivial_clips_pass` (`passes/skip_trivial_clips.rs:27-112`)
+    ANALYSIS: clipped draw layers outside any active clip range are
+    invisible and drop; clip units no clipped layer references drop;
+    FULL-cover clips admit everything, so they drop too and the draws they
+    govern get FLAG_UNCLIPPED (paint then skips the clip-mask multiply —
+    numerically identical since a full clip's mask is exactly 1.0, but one
+    fewer fold slot per tile).
+
+    Returns (keep, virt_u-with-FLAG_UNCLIPPED); the caller renumbers —
+    combined with the occlusion pass's keep so clip frames pay ONE unit
+    re-sort, not two.
 
     id_u/cend_u: layer id and clip range end per unit; clipped_u: the unit is
     a clipped Draw.
@@ -472,6 +570,16 @@ def skip_trivial_clips(key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid, id_u
     unused_clip = is_clip & (used == 0)
 
     keep = u_valid & ~(orphan | unused_clip | full_clip)
+    return keep, virt_u
+
+
+@jax.jit
+def skip_trivial_clips(key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid, id_u, cend_u, clipped_u):
+    """skip_trivial_clips_keep + renumber (standalone form, kept for the
+    pass batteries; the pipeline fuses both passes into one renumber)."""
+    keep, virt_u = skip_trivial_clips_keep(
+        key_u, virt_u, u_valid, id_u, cend_u, clipped_u
+    )
     return _renumber_units(key_u, layer_u, src_u, src2_u, virt_u, keep)
 
 
@@ -489,13 +597,19 @@ def _seg_cummax(gid, values):
     return out
 
 
-@jax.jit
-def cull_units(key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid):
-    """Drops every unit hidden beneath a full-cover opaque unit of its tile
-    (`skip_fully_covered_layers.rs:27-119`) and re-sorts survivors.
+def cull_units_keep(key_u, virt_u, k_u, u_valid):
+    """Occlusion-pass ANALYSIS (`skip_fully_covered_layers.rs:27-119`):
+    marks every unit hidden beneath a full-cover opaque unit of its tile.
+    Tiles containing any clip unit are left untouched (clip masks must
+    still accumulate).
 
-    virt_u carries FLAG_* bits computed upstream.  Tiles containing any clip
-    unit are left untouched (clip masks must still accumulate).
+    Runs on the PRE-clip-pass unit list when fused with
+    `skip_trivial_clips_keep`: units that pass drops (orphan clipped draws,
+    unused/full clips) are never FULL_OPAQUE, so occlusion decisions are
+    unchanged; a dropped clip can only make `tile_has_clip` conservative
+    (keep more), and keeping a hidden unit is bit-exact — an Over-blended
+    opaque solid on top yields `fill * (1 - dst_a) + fill * dst_a`
+    independent of dst below it.
     """
     n = key_u.shape[0]
     new_tile = key_u != jnp.roll(key_u, 1)
@@ -522,7 +636,15 @@ def cull_units(key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid):
     clip_rev = rev(_seg_cummax(gid_r, rev(clip_v)))
     tile_has_clip = (clip_fwd | clip_rev) > 0
 
-    keep = u_valid & ((k_u + 1 >= k_top1) | tile_has_clip)
+    return u_valid & ((k_u + 1 >= k_top1) | tile_has_clip)
+
+
+@jax.jit
+def cull_units(key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid):
+    """cull_units_keep + renumber (standalone form, kept for the pass
+    batteries; the pipeline fuses both workbench passes into one
+    renumber)."""
+    keep = cull_units_keep(key_u, virt_u, k_u, u_valid)
     return _renumber_units(key_u, layer_u, src_u, src2_u, virt_u, keep)
 
 
@@ -590,7 +712,7 @@ def paint(
     u_cap = key_u.shape[0]
     run_cap = grid.shape[0]
 
-    # Pallas VMEM-resident fold for the solid/Over common path: the wave
+    # Pallas VMEM-resident fold for every non-texture frame: the wave
     # fold's dominant cost is the framebuffer carry round-tripping HBM on
     # every k step (~0.73 ms/step at 8k tiles — tools/paint_state_probe.py;
     # XLA cannot fuse consecutive blend steps into one dst pass —
@@ -598,14 +720,15 @@ def paint(
     # keeping each tile block's pixels in VMEM for its whole unit list.
     if (
         style_s is not None
-        and tile_unchanged is None
         and _fold_backend() == "pallas"
-        and _fold_pallas_eligible(features, k_slots)
+        and _fold_pallas_eligible(features, k_slots, st_stops.shape[1])
     ):
         frame_t = _paint_fold_pallas(
             key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid,
             grid, carry_in_s, carry_after_s, style_s,
             clear_color, rows, tiles_x, k_slots,
+            features, st_stops.shape[1],
+            row_lo=row_lo, tile_unchanged=tile_unchanged,
             interpret=jax.default_backend() != "tpu",
         )
         frame = frame_t.reshape(rows, tiles_x, TH, TW, 4)

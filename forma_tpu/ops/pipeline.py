@@ -64,7 +64,7 @@ def _unit_tiles(key_u, u_valid, tiles_x, n_tiles):
 
 def slot_bits_for(n_slots: int, rows: int, tiles_x: int) -> int:
     """Bits for the layer slot in the packed single-u32 sort key; 0 when
-    [row | tx | slot] cannot fit 31 bits (two-key fallback)."""
+    [row | slot | tx] cannot fit 31 bits (two-key fallback)."""
     slot_bits = max((n_slots - 1).bit_length(), 1)
     row_bits = (rows + 1).bit_length()
     tx_bits = max((tiles_x + 1).bit_length(), 1)
@@ -95,17 +95,18 @@ def _core(
     v_total = vline_ends[-1]
     total_segs = jnp.sum(lengths, dtype=jnp.int32)
 
-    # Pack the sort key into one u32 when [row | tx | slot] fits.
+    # Pack the sort key into one u32 when [row | slot | tx] fits.
+    slot_bits = _slot_bits(st, rows, tiles_x)
     key_hi, key_lo, payload = _raster.rasterize_sort(
         params, slots, lengths, vline_ends,
         jnp.minimum(v_total, jnp.uint32(caps.vline)),
         caps.vline, K_SEG, rows, tiles_x, row_lo,
-        slot_bits=_slot_bits(st, rows, tiles_x),
+        slot_bits=slot_bits,
     )
     return _back(
         key_hi, key_lo, payload, v_total, total_segs,
         st, clear, row_lo, rows, tiles_x, caps, features, channels,
-        cull, cache, crop_x, crop_y,
+        cull, cache, crop_x, crop_y, presorted=slot_bits > 0,
     )
 
 
@@ -119,6 +120,8 @@ def _back(
     cache=None,
     crop_x=None,
     crop_y=None,
+    presorted: bool = False,  # segments sorted by [row|slot|tx]: runs
+    #                           already arrive in carry-chain order
 ):
     """Everything after the segment sort: runs, carries, units, optimizer
     passes, paint, sRGB.  Split out so the line-sharded multi-chip path can
@@ -141,8 +144,13 @@ def _back(
         key_hi, key_lo, payload, run_id, new_run,
         jnp.minimum(num_runs, caps.run),
         st["pidx"], st["fill_rule"], st_opaque, st_isclip, st_solid,
-        caps.run, tiles_x,
-        st_color=st["color"],
+        caps.run, tiles_x, presorted=presorted,
+        style_pack=_paint.style_pack_for_fold(
+            features,
+            st["orders"], st["pidx"], st["fill_rule"], st["func"],
+            st["clip_n"], st["is_clipped"], st["blend"], st["fill_type"],
+            st["color"], st["grad"], st["stops"],
+        ),
     )
 
     key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid, k_pre = (
@@ -179,27 +187,32 @@ def _back(
         )
         tile_unch = cache_ok & (counts == prev_counts) & (all_unch == 1)
 
-    if cull and features.has_clip:
-        # Trivial-clip elimination (`passes/skip_trivial_clips.rs`): compile
-        # away entirely for clip-free frames via the static feature flag.
-        slot_u = jnp.minimum(layer_u.astype(jnp.int32), st["orders"].shape[0] - 1)
-        pi_u = st["pidx"][slot_u]
-        id_u = (st["orders"][slot_u] & jnp.uint32(consts.LAYER_LIMIT)).astype(
-            jnp.int32
-        )
-        cend_u = id_u + st["clip_n"][pi_u]
-        clipped_u = st["is_clipped"][pi_u] & (st["func"][pi_u] == 0)
-        key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid, _ = (
-            _paint.skip_trivial_clips(
-                key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid,
-                id_u, cend_u, clipped_u,
-            )
-        )
-
     if cull:
+        # Layer-workbench passes, FUSED into one keep-mask + ONE unit
+        # re-sort (a 5-operand u_cap sort costs ~3 ms at paris scale; the
+        # two passes used to renumber separately).  The occlusion analysis
+        # legally runs on the pre-clip-pass list — see cull_units_keep.
+        keep = _paint.cull_units_keep(key_u, virt_u, k_u, u_valid)
+        if features.has_clip:
+            # Trivial-clip elimination (`passes/skip_trivial_clips.rs`):
+            # compiles away entirely for clip-free frames via the static
+            # feature flag.
+            slot_u = jnp.minimum(
+                layer_u.astype(jnp.int32), st["orders"].shape[0] - 1
+            )
+            pi_u = st["pidx"][slot_u]
+            id_u = (
+                st["orders"][slot_u] & jnp.uint32(consts.LAYER_LIMIT)
+            ).astype(jnp.int32)
+            cend_u = id_u + st["clip_n"][pi_u]
+            clipped_u = st["is_clipped"][pi_u] & (st["func"][pi_u] == 0)
+            keep_c, virt_u = _paint.skip_trivial_clips_keep(
+                key_u, virt_u, u_valid, id_u, cend_u, clipped_u
+            )
+            keep &= keep_c
         key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid, k_needed = (
-            _paint.cull_units(
-                key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid
+            _paint._renumber_units(
+                key_u, layer_u, src_u, src2_u, virt_u, keep
             )
         )
     else:
@@ -533,6 +546,7 @@ def render_frame_sharded_lines(
             key_hi, key_lo, recv_p,
             v_total, jax.lax.psum(segs_own, "rows"),
             st, clear, row_lo, rows, tiles_x, caps, features, channels, cull,
+            presorted=True,
         )
         diag = jnp.concatenate([diag, max_pair[None], recv_valid[None]])
         return frame, jax.lax.pmax(diag, "rows")

@@ -189,18 +189,26 @@ def _emit_packed(
     col, j, v_live, k_seg: int, rows: int, tiles_x: int, row_lo,
     slot_bits: int, tx_bits: int,
 ):
-    """_emit_core + single-u32 key packing ([rowb | txb | slot]); sentinel
-    where invalid."""
+    """_emit_core + single-u32 key packing ([rowb | slot | txb]); sentinel
+    where invalid.
+
+    Layer slot sits ABOVE tile_x so the segment sort directly yields runs
+    in (row, layer, tile_x) order — the carry-chain order — which lets
+    `runs.run_data(presorted=True)` skip its key2 re-sort + inverse-
+    permutation sort entirely.  Rows stay in the TOP bits, so the
+    line-sharded path's destination-band slicing (`pipeline.py`) is
+    unchanged.  The unit sort in `build_units` re-establishes (tile, layer)
+    paint order either way."""
     tile_x, tile_y, key_lo2, payload, valid = _emit_core(
         col, j, v_live, k_seg, rows, tiles_x, row_lo
     )
     packed = (
         (
-            ((tile_y + 1).astype(jnp.uint32) << tx_bits)
-            | (tile_x + 1).astype(jnp.uint32)
+            ((tile_y + 1).astype(jnp.uint32) << slot_bits)
+            | key_lo2
         )
-        << slot_bits
-    ) | key_lo2
+        << tx_bits
+    ) | (tile_x + 1).astype(jnp.uint32)
     packed = jnp.where(valid, packed, SENTINEL)
     return packed, payload
 
@@ -262,13 +270,15 @@ def _expand_emit_packed(
 
 
 def unpack_packed_keys(packed, slot_bits: int, tx_bits: int):
-    """Packed [rowb | txb | slot] u32 -> (key_hi, key_lo) in the canonical
+    """Packed [rowb | slot | txb] u32 -> (key_hi, key_lo) in the canonical
     (rowb << TX_BITS | txb, layer-slot) form the runs stage consumes."""
     invalid = packed == SENTINEL
-    txb = (packed >> slot_bits) & jnp.uint32((1 << tx_bits) - 1)
+    txb = packed & jnp.uint32((1 << tx_bits) - 1)
     rowb = packed >> (slot_bits + tx_bits)
     key_hi = jnp.where(invalid, SENTINEL, (rowb << TX_BITS) | txb)
-    key_lo = jnp.where(invalid, 0, packed & jnp.uint32((1 << slot_bits) - 1))
+    key_lo = jnp.where(
+        invalid, 0, (packed >> tx_bits) & jnp.uint32((1 << slot_bits) - 1)
+    )
     return key_hi, key_lo
 
 
@@ -287,7 +297,7 @@ def rasterize_sort(
     rows: int,
     tiles_x: int,
     row_lo=0,  # traced: first tile row owned by this shard
-    slot_bits: int = 0,  # >0: single packed u32 sort key [row|tx|slot]
+    slot_bits: int = 0,  # >0: single packed u32 sort key [row|slot|tx]
 ):
     """Returns sorted (key_hi, key_lo, payload) u32 arrays of length
     v_cap * k_seg.  Tile rows are shard-local (row - row_lo), which is what
@@ -361,7 +371,7 @@ def rasterize_sort(
         )
         return key_hi, key_lo, payload
 
-    # Packed single-key sort: [rowb | txb | slot] in minimal bits.
+    # Packed single-key sort: [rowb | slot | txb] in minimal bits.
     # Unstable: equal (tile, layer) keys' payloads are summed by the grid
     # accumulation, so their order is irrelevant — and stability costs a
     # third sorted operand (a hidden iota tiebreak; measured 30.4 ms for

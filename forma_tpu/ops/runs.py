@@ -121,7 +121,7 @@ def unpack_grid(grid):
     return area, cover
 
 
-@partial(jax.jit, static_argnames=("run_cap", "tiles_x"))
+@partial(jax.jit, static_argnames=("run_cap", "tiles_x", "presorted"))
 def run_data(
     key_hi,
     key_lo,
@@ -136,9 +136,15 @@ def run_data(
     st_solid,  # bool [P] solid-fill draw, not clipped (any alpha/blend)
     run_cap: int,
     tiles_x: int,
-    st_color=None,  # f32 [P, 4] solid colors; when given, per-run style
-    #                 rows ride the existing slot gather (for the Pallas
-    #                 paint fold — see ops/paint_pallas.py)
+    style_pack=None,  # i32 [SL, SW] per-slot style rows in the Pallas
+    #                   fold's lane layout (paint.style_pack_for_fold);
+    #                   when given, per-run style rows ride the existing
+    #                   slot gather (gathers cost per index, not per byte)
+    presorted: bool = False,  # segments were sorted by the [row|slot|tx]
+    #                   packed key, so runs already arrive in carry-chain
+    #                   (row, layer, tile_x) order: the key2 re-sort, the
+    #                   inverse-permutation sort and the rowcov re-gather
+    #                   all collapse to identity
 ):
     """Builds per-run packed grids and carry chains.
 
@@ -214,25 +220,33 @@ def run_data(
     r_valid = (r < num_runs) & (run_hi != SENTINEL)
     run_hi = jnp.where(r_valid, run_hi, SENTINEL)
 
-    # Re-sort runs by (row, layer, tile_x) for the carry chains.
+    # Carry chains need runs in (row, layer, tile_x) order.
     rowb = run_hi >> TX_BITS  # biased row + 1
     txb = run_hi & jnp.uint32((1 << TX_BITS) - 1)  # biased tile_x + 1
     key2 = jnp.where(r_valid, (rowb << 21) | run_layer, SENTINEL)
-    txb_key = jnp.where(r_valid, txb, SENTINEL)
-    key2_s, txb_s, orig = jax.lax.sort(
-        (key2, txb_key, jnp.arange(run_cap, dtype=jnp.int32)), num_keys=2,
-        is_stable=False,
-    )
-    # Inverse permutation (original run -> sorted position): lets REAL paint
-    # units address the sorted-domain carry arrays directly, replacing the
-    # [R, 16] carry scatter-back this code used to do (~11 ms at paris
-    # scale; a [R]-keyed sort is ~1 ms).
-    _, inv = jax.lax.sort(
-        (orig, jnp.arange(run_cap, dtype=jnp.int32)), num_keys=1,
-        is_stable=False,
-    )
-
-    rowcov_s = rowcov[orig]  # row gather [R, 16]
+    if presorted:
+        # The [row|slot|tx] segment sort already delivered this order:
+        # sorted domain == original domain (saves two run_cap sorts + the
+        # [R, 16] rowcov re-gather).
+        key2_s = key2
+        txb_s = jnp.where(r_valid, txb, SENTINEL)
+        inv = jnp.arange(run_cap, dtype=jnp.int32)
+        rowcov_s = rowcov
+    else:
+        txb_key = jnp.where(r_valid, txb, SENTINEL)
+        key2_s, txb_s, orig = jax.lax.sort(
+            (key2, txb_key, jnp.arange(run_cap, dtype=jnp.int32)), num_keys=2,
+            is_stable=False,
+        )
+        # Inverse permutation (original run -> sorted position): lets REAL
+        # paint units address the sorted-domain carry arrays directly,
+        # replacing the [R, 16] carry scatter-back this code used to do
+        # (~11 ms at paris scale; a [R]-keyed sort is ~1 ms).
+        _, inv = jax.lax.sort(
+            (orig, jnp.arange(run_cap, dtype=jnp.int32)), num_keys=1,
+            is_stable=False,
+        )
+        rowcov_s = rowcov[orig]  # row gather [R, 16]
     new_group = key2_s != jnp.roll(key2_s, 1)
     new_group = new_group.at[0].set(True)
     cum = jnp.cumsum(rowcov_s, axis=0)
@@ -264,24 +278,17 @@ def run_data(
         | (st_solid[st_pidx].astype(jnp.int32) << 3)
     )  # i32 [SL]
     style_s = None
-    if st_color is None:
+    if style_pack is None:
         f_s = sl_flags[slot_s]
     else:
         # Widen the ONE per-run gather (gathers cost per index, not per
-        # byte) so the Pallas paint fold gets its per-run solid color +
-        # fill rule without a second run-cap-index gather.
-        sl_pack = jnp.concatenate(
-            [
-                sl_flags[:, None],
-                jax.lax.bitcast_convert_type(st_color[st_pidx], jnp.int32),
-            ],
-            axis=1,
-        )  # [SL, 5]
-        packed_s = sl_pack[slot_s]  # [R, 5]
+        # byte) so the Pallas paint fold gets its full per-run style row
+        # (color, fill rule, blend, fill/func kinds, clip range, gradient
+        # params + stops) without a second run-cap-index gather.
+        sl_pack = jnp.concatenate([sl_flags[:, None], style_pack], axis=1)
+        packed_s = sl_pack[slot_s]  # [R, 1 + SW]
         f_s = packed_s[:, 0]
-        style_s = jnp.concatenate(
-            [packed_s[:, 1:5], (f_s & 1)[:, None]], axis=1
-        )  # [R, 5]: rgba f32 bits + fill-rule-is-eo
+        style_s = packed_s[:, 1:]  # [R, SW] kernel-layout style rows
     fr_eo = (f_s & 1) == 1
     isclip_s = (f_s & 2) != 0
     opaque_s = (f_s & 4) != 0
@@ -313,11 +320,14 @@ def run_data(
         # draws it governs (`skip_trivial_clips.rs:27-112`, full-clip arm).
         | jnp.where(full_s & isclip_s, 16, 0)
     ).astype(jnp.int32)
-    real_flags = (
-        jnp.zeros(run_cap, jnp.int32)
-        .at[orig]
-        .set(jnp.where(isclip_s, 4, 0).astype(jnp.int32))
-    )
+    if presorted:
+        real_flags = jnp.where(isclip_s, 4, 0).astype(jnp.int32)
+    else:
+        real_flags = (
+            jnp.zeros(run_cap, jnp.int32)
+            .at[orig]
+            .set(jnp.where(isclip_s, 4, 0).astype(jnp.int32))
+        )
 
     return dict(
         run_hi=run_hi,

@@ -125,16 +125,25 @@ def profile_frame(renderer, composition, width, height, clear_color, channels=No
         (st["func"] == 0) & (st["fill_type"] == 0) & (~st["is_clipped"])
     )
 
-    def do_runs(kh, kl, payload, run_id, new_run, nr, pidx, fr, op, ic, so, col):
+    def do_runs(kh, kl, payload, run_id, new_run, nr, pidx, fr, op, ic, so, sp):
         return _runs.run_data(
             kh, kl, payload, run_id, new_run, nr,
-            pidx, fr, op, ic, so, caps.run, tiles_x, st_color=col,
+            pidx, fr, op, ic, so, caps.run, tiles_x, style_pack=sp,
+            presorted=slot_bits > 0,
         )
 
+    style_pack = jax.jit(
+        _paint.style_pack_for_fold, static_argnums=(0,)
+    )(
+        features,
+        st["orders"], st["pidx"], st["fill_rule"], st["func"],
+        st["clip_n"], st["is_clipped"], st["blend"], st["fill_type"],
+        st["color"], st["grad"], st["stops"],
+    )
     runs_args = (kh, kl, payload, run_id, new_run,
                  jnp.minimum(num_runs, caps.run),
                  st["pidx"], st["fill_rule"], st_opaque, st_isclip, st_solid,
-                 st["color"])
+                 style_pack)
     t_rd = _timeit(do_runs, *runs_args)
     rd = jax.jit(do_runs)(*runs_args)
 

@@ -65,6 +65,15 @@ class Renderer:
         self.last_diag: Optional[np.ndarray] = None
         self.last_timings = None  # set by forma_tpu.profiling.profile_frame
         self._last_dmg = None  # compact damaged-tile readback (idx, tiles)
+        # Mid-animation recompile guard (every regrow is a full recompile):
+        # transform changes between renders flip `_animating`, which widens
+        # the vline estimate's headroom; `announce_max_scale` bounds it for
+        # zooms beyond that.  `regrow_count` counts growth-loop recompiles
+        # (tests assert a warmed animation never re-enters the loop).
+        self.regrow_count = 0
+        self._animating = False
+        self._last_tver = None
+        self._announced_scale = 1.0
         # Line-sharded multi-chip path state: round-robin endpoint-pair
         # arrays (cached per geometry version + shard count) and its own
         # capacity buckets (per-shard sized — ~1/N of the single-chip ones).
@@ -95,6 +104,27 @@ class Renderer:
 
     def _release_cache_slot(self, cache_id: int):
         self._cache_slots &= ~(1 << cache_id)
+
+    def _cap_headroom(self) -> float:
+        """Capacity slack factor while transforms are churning: run/virtual
+        counts scale roughly with segment counts, so animated sequences get
+        ~20% slack (or the announced zoom bound) on EVERY bucket — applied
+        at the animating flip and to any diag-driven regrow, so one warmup
+        recompile covers the whole sequence."""
+        h = 1.20 if self._animating else 1.0
+        if self._announced_scale > 1.0:
+            h = max(h, self._announced_scale * 1.0626)
+        return h
+
+    def announce_max_scale(self, scale: float):
+        """Declares the maximum zoom factor an upcoming animation will apply
+        RELATIVE to the composition's current transforms, so the capacity
+        estimate can bound per-line lengths over the whole sequence and a
+        sustained zoom-in never regrows (= recompiles) mid-animation.
+        Scales below an already-announced bound are ignored."""
+        if scale > self._announced_scale:
+            self._announced_scale = float(scale)
+            self._estimate_key = None  # force re-estimate at the new bound
 
     # -- geometry upload ----------------------------------------------------
 
@@ -210,8 +240,14 @@ class Renderer:
         # Keyed on membership/geometry, NOT transforms: per-frame animation
         # shifts lengths only slightly and the diag-driven growth catches any
         # overflow; re-running the numpy replay per frame would be host-bound.
+        # Transform churn between renders flips `_animating` (part of the
+        # key, so the estimate recomputes ONCE with animation headroom).
+        if self._last_tver is not None and shared.tform_version != self._last_tver:
+            self._animating = True
+        self._last_tver = shared.tform_version
         ekey = (
             buf.serial, buf.version, shared.scene_version, width, height,
+            self._animating, self._announced_scale,
         )
         if getattr(self, "_estimate_key", None) == ekey:
             return
@@ -252,20 +288,38 @@ class Renderer:
                 return np.maximum((np.ceil(mx) - np.floor(mn) - 1), 0)
 
             lengths = np.where(valid, ib(q0x, q1x) + ib(q0y, q1y) + 1, 0)
+            if self._announced_scale > 1.0:
+                # Worst-case bound over the announced zoom range: Manhattan
+                # lengths scale ~linearly with the transform scale, plus
+                # per-line ceil/floor rounding slack.
+                s = self._announced_scale
+                lengths = np.where(valid, lengths * s + (s + 1.0), 0.0)
             vlines = int(np.ceil(lengths / _pipe.K_SEG).sum())
         # vline is exact for the CURRENT transforms; animation (zoom/rotate)
         # shifts per-line lengths a few percent per frame, and a mid-sequence
         # regrow is a full recompile through the remote toolchain — so pad
-        # by one fine bucket (~6.25%) of headroom.  k is free at runtime
+        # by one fine bucket (~6.25%) of headroom, or three (~20%) once
+        # transform churn marks the scene as animating (zooms beyond that
+        # need `announce_max_scale`).  k is free at runtime
         # (the wave fold is bounded by actual depth, the static cap only
         # sizes the slot table).  run/virt have no tight host bound — their
         # diag-driven growth lands on the right bucket in one step.
+        headroom = 1.20 if self._animating else 1.0626
         caps = self._caps
+        h = self._cap_headroom()
         self._caps = _pipe.Caps(
-            vline=max(caps.vline, _bucket_fine(int(vlines * 1.0626) + 512)),
-            run=caps.run,
-            virt=caps.virt,
-            k=max(caps.k, 256 if vlines > 100_000 else caps.k),
+            vline=max(caps.vline, _bucket_fine(int(vlines * headroom) + 512)),
+            # run/virt/k have no host bound; at the animating flip (or an
+            # announced zoom), inflate their CURRENT caps — which reflect
+            # the warmed frames' actuals — by the same slack, so the one
+            # recompile this estimate triggers covers the whole sequence.
+            run=max(caps.run, _bucket_fine(int(caps.run * h))) if h > 1.0 else caps.run,
+            virt=max(caps.virt, _bucket_fine(int(caps.virt * h))) if h > 1.0 else caps.virt,
+            k=max(
+                caps.k,
+                256 if vlines > 100_000 else caps.k,
+                _bucket(int(caps.k * h), lo=4) if h > 1.0 else caps.k,
+            ),
         )
 
     # -- rendering ----------------------------------------------------------
@@ -490,11 +544,13 @@ class Renderer:
                 and d[_pipe.DIAG_K] <= caps.k
             ):
                 break
+            self.regrow_count += 1
+            h = self._cap_headroom()
             self._caps = _pipe.Caps(
-                vline=max(caps.vline, _bucket_fine(int(d[_pipe.DIAG_VLINES]) + 1)),
-                run=max(caps.run, _bucket_fine(int(d[_pipe.DIAG_RUNS]))),
-                virt=max(caps.virt, _bucket_fine(int(d[_pipe.DIAG_VIRT]) + 1)),
-                k=max(caps.k, _bucket(max(int(d[_pipe.DIAG_K]), 1), lo=4)),
+                vline=max(caps.vline, _bucket_fine(int(d[_pipe.DIAG_VLINES] * h) + 1)),
+                run=max(caps.run, _bucket_fine(int(d[_pipe.DIAG_RUNS] * h))),
+                virt=max(caps.virt, _bucket_fine(int(d[_pipe.DIAG_VIRT] * h) + 1)),
+                k=max(caps.k, _bucket(max(int(d[_pipe.DIAG_K] * h), 1), lo=4)),
             )
         else:
             raise RuntimeError(f"capacity growth did not converge: {d}")
@@ -596,11 +652,13 @@ class Renderer:
             ):
                 self.last_diag = d
                 return frame, d
+            self.regrow_count += 1
+            h = self._cap_headroom()
             self._caps = _pipe.Caps(
-                vline=max(caps.vline, _bucket_fine(int(d[_pipe.DIAG_VLINES]) + 1)),
-                run=max(caps.run, _bucket_fine(int(d[_pipe.DIAG_RUNS]))),
-                virt=max(caps.virt, _bucket_fine(int(d[_pipe.DIAG_VIRT]) + 1)),
-                k=max(caps.k, _bucket(max(int(d[_pipe.DIAG_K]), 1), lo=4)),
+                vline=max(caps.vline, _bucket_fine(int(d[_pipe.DIAG_VLINES] * h) + 1)),
+                run=max(caps.run, _bucket_fine(int(d[_pipe.DIAG_RUNS] * h))),
+                virt=max(caps.virt, _bucket_fine(int(d[_pipe.DIAG_VIRT] * h) + 1)),
+                k=max(caps.k, _bucket(max(int(d[_pipe.DIAG_K] * h), 1), lo=4)),
             )
         raise RuntimeError(f"capacity growth did not converge: {d}")
 
@@ -657,7 +715,7 @@ class Renderer:
         over ICI, and each chip sorts + paints the ~1/N segments it owns —
         the whole pipeline scales, not just the back half.
 
-        Scenes whose [row | tx | slot] key exceeds 31 bits cannot use the
+        Scenes whose [row | slot | tx] key exceeds 31 bits cannot use the
         packed single-u32 sort key this path requires; they transparently
         fall back to the row-sharded `render_device_sharded`."""
         import jax
@@ -747,11 +805,13 @@ class Renderer:
             ):
                 self.last_diag = d
                 return frame, d
+            self.regrow_count += 1
+            h = self._cap_headroom()
             self._caps_lines = _pipe.Caps(
-                vline=max(caps.vline, _bucket_fine(int(d[_pipe.DIAG_VLINES]) + 1)),
-                run=max(caps.run, _bucket_fine(int(d[_pipe.DIAG_RUNS]))),
-                virt=max(caps.virt, _bucket_fine(int(d[_pipe.DIAG_VIRT]) + 1)),
-                k=max(caps.k, _bucket(max(int(d[_pipe.DIAG_K]), 1), lo=4)),
+                vline=max(caps.vline, _bucket_fine(int(d[_pipe.DIAG_VLINES] * h) + 1)),
+                run=max(caps.run, _bucket_fine(int(d[_pipe.DIAG_RUNS] * h))),
+                virt=max(caps.virt, _bucket_fine(int(d[_pipe.DIAG_VIRT] * h) + 1)),
+                k=max(caps.k, _bucket(max(int(d[_pipe.DIAG_K] * h), 1), lo=4)),
             )
             self._xcap = max(
                 self._xcap,
@@ -838,10 +898,12 @@ class Renderer:
             ):
                 self.last_diag = d
                 return frame, d
+            self.regrow_count += 1
+            h = self._cap_headroom()
             self._caps = _pipe.Caps(
-                vline=max(caps.vline, _bucket_fine(int(d[_pipe.DIAG_VLINES]) + 1)),
-                run=max(caps.run, _bucket_fine(int(d[_pipe.DIAG_RUNS]))),
-                virt=max(caps.virt, _bucket_fine(int(d[_pipe.DIAG_VIRT]) + 1)),
-                k=max(caps.k, _bucket(max(int(d[_pipe.DIAG_K]), 1), lo=4)),
+                vline=max(caps.vline, _bucket_fine(int(d[_pipe.DIAG_VLINES] * h) + 1)),
+                run=max(caps.run, _bucket_fine(int(d[_pipe.DIAG_RUNS] * h))),
+                virt=max(caps.virt, _bucket_fine(int(d[_pipe.DIAG_VIRT] * h) + 1)),
+                k=max(caps.k, _bucket(max(int(d[_pipe.DIAG_K] * h), 1), lo=4)),
             )
         raise RuntimeError(f"capacity growth did not converge: {d}")

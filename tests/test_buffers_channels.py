@@ -72,8 +72,13 @@ def test_render_into_strided_buffer():
 
 
 def test_two_key_sort_fallback_matches_packed():
-    """slot_bits == 0 (two-key sort) must order segments identically to the
-    packed single-key fast path (Weak #10 in the round-1 verdict)."""
+    """slot_bits == 0 (two-key sort) must produce the same segment SET as
+    the packed single-key fast path (Weak #10 in the round-1 verdict).
+    The orders differ by design since round 4 — the packed key is
+    [row | slot | tx] so runs arrive pre-sorted for the carry chains, the
+    two-key fallback stays (row|tx, slot) — so streams are compared after
+    canonical re-sorting; full-frame equality of the two paths is covered
+    by the goldens + the wide-key facade test."""
     from forma_tpu.ops.line_setup import line_setup
     from forma_tpu.ops.rasterize import rasterize_sort
 
@@ -96,8 +101,12 @@ def test_two_key_sort_fallback_matches_packed():
               max(v_total, 1), 8, 8, 8)
     packed = rasterize_sort(*common, slot_bits=2)
     twokey = rasterize_sort(*common, slot_bits=0)
-    for a, b in zip(packed, twokey):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def canon(streams):
+        a = np.stack([np.asarray(s) for s in streams], axis=1)
+        return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
+
+    np.testing.assert_array_equal(canon(packed), canon(twokey))
 
 
 def test_flusher_called():

@@ -64,6 +64,7 @@ def build_inputs(depth):
         + rng.integers(-16, 17, (total, 256))
     ).astype(np.int32)
     u_mat[:total, 256:272] = rng.integers(-16, 17, (total, 16)).astype(np.int32)
+    # Style rows at the solid/Over layout: fill(4) | fr(1).
     fills = rng.random((total, 4), np.float32)
     u_mat[:total, 272:276] = fills.view(np.int32)
     u_mat[:total, 276] = rng.integers(0, 2, total).astype(np.int32)
@@ -76,11 +77,14 @@ def build_inputs(depth):
     kmax = cnt_t.max(axis=1)
     nch = np.minimum(-(-(span_end - start_al) // _pp.CH), win // _pp.CH)
     nch = np.where(kmax > 0, nch, 0)
+    tile_i = np.arange(t8, dtype=np.int64)
+    x0_t = ((tile_i % TILES_X) * 16).reshape(nblk, TB)
+    y0_t = ((tile_i // TILES_X) * 16).reshape(nblk, TB)
     blkinfo = np.concatenate(
         [
             start_al[:, None], nch[:, None], kmax[:, None],
             np.zeros((nblk, 5), np.int64),
-            ust_t - start_al[:, None], cnt_t,
+            ust_t - start_al[:, None], cnt_t, x0_t, y0_t,
         ],
         axis=1,
     ).astype(np.int32)
@@ -94,8 +98,26 @@ def main():
     u_mat, blkinfo = build_inputs(depth)
     clear = jnp.asarray([1.0, 1.0, 1.0, 1.0], jnp.float32)
 
+    from forma_tpu.ops.paint import Features
+
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--features", default="solid",
+                    choices=["solid", "grad", "blend", "clip", "all"])
+    fa = ap.parse_args()
+    feats = {
+        "solid": Features(),
+        "grad": Features(has_gradient=True),
+        "blend": Features(blend_modes=tuple(range(16))),
+        "clip": Features(has_clip=True),
+        "all": Features(blend_modes=tuple(range(16)), has_gradient=True,
+                        has_clip=True),
+    }[fa.features]
+    ms = 2
     f = jax.jit(
-        lambda u, b, c: _pp.paint_fold_pallas(u, b, c, k_slots=K_SLOTS).sum()
+        lambda u, b, c: _pp.paint_fold_pallas(
+            u, b, c, k_slots=K_SLOTS, features=feats, ms=ms
+        ).sum()
     )
     t0 = time.time()
     jax.device_get(f(u_mat, blkinfo, clear))
