@@ -32,13 +32,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _reduce(out):
+    """Tiny fence value: forces the sort without shipping 71 MB back
+    through the tunnel (the microbench pattern, tools/tpu_microbench.py)."""
+    if isinstance(out, (tuple, list)):
+        return sum(_reduce(o) for o in out)
+    return out[:8].astype(jnp.uint32).sum()
+
+
 def _time(fn, *args, iters=20):
-    f = jax.jit(fn)
+    f = jax.jit(lambda *a: _reduce(fn(*a)))
     jax.device_get(f(*args))  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = f(*args)
-    jax.device_get(out)
+        jax.device_get(f(*args))
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -54,6 +61,10 @@ def main(n=8_900_000, iters=20):
 
     def pair(k, p):
         return jax.lax.sort((k, p), num_keys=1, is_stable=False)
+
+    import warnings
+
+    jax.config.update("jax_enable_x64", True)  # real u64 for the 1-op variant
 
     def u64(k, p):
         kp = (k.astype(jnp.uint64) << 32) | p.astype(jnp.uint64)
