@@ -13,8 +13,10 @@ echo "== unit + golden + differential tests =="
 python -m pytest tests/ -x -q
 
 echo "== bench smoke (tiny scene, CPU) =="
+# --scene pins ONE config: the no-scene default runs the whole BASELINE.md
+# suite at 1080p/4K, which is a TPU workload, not a CPU smoke test.
 PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python bench.py \
-    --frames 2 --paths 500 --width 256 --height 256 --no-verify
+    --scene paris --frames 2 --paths 500 --width 256 --height 256 --no-verify
 
 echo "== driver entry compile check =="
 PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python __graft_entry__.py
