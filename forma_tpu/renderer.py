@@ -32,6 +32,15 @@ def _bucket(n: int, lo: int = 256) -> int:
     return c
 
 
+# Minimum damaged-tile pixel prefix fetched alongside the diagnostics in
+# round trip 1; the renderer ADAPTS the prefix to the previous frame's
+# damage (damage is frame-coherent in animations), so steady-state
+# incremental updates take ONE host round trip with bytes ~ actual
+# damage.  A mispredicted (larger) frame fetches one 64-aligned remainder
+# slice and the prefix regrows.
+_DMG_PREFIX = 64
+
+
 def _bucket_fine(n: int, lo: int = 256) -> int:
     """Sixteenth-power-of-two buckets: the big capacity buckets (virtual
     lines, runs) drive sort and scatter sizes, so coarse growth steps waste
@@ -74,6 +83,7 @@ class Renderer:
         self._animating = False
         self._last_tver = None
         self._announced_scale = 1.0
+        self._dmg_prefix = _DMG_PREFIX  # adaptive damage-readback prefix
         # Line-sharded multi-chip path state: round-robin endpoint-pair
         # arrays (cached per geometry version + shard count) and its own
         # capacity buckets (per-shard sized — ~1/N of the single-chip ones).
@@ -532,10 +542,35 @@ class Renderer:
                 self._caps, st_host.features, chans,
                 crop_x=crop_x_t, crop_y=crop_y_t,
             )
-            # One host round trip fetches diagnostics AND the compact
-            # damaged-tile buffers (≤ DMG_CAP KiB) so `render_into` never
-            # has to pull the whole frame for incremental updates.
-            d, self._last_dmg = jax.device_get((diag, dmg))
+            # Adaptive damage readback: the fixed DMG_CAP-sized fetch
+            # shipped ~1 MB per frame — measured as the ENTIRE spaceship
+            # frame budget through the bench tunnel (~30-43 ms per host
+            # round trip, ~28 MB/s).  Round trip 1 ships diag + dmg
+            # indices + a pixel prefix sized from the PREVIOUS frame's
+            # damage (damage is frame-coherent in animations), so
+            # steady-state incremental frames cost ONE round trip with
+            # bytes ~ actual damage; a mispredicted frame fetches one
+            # 64-aligned remainder slice and the prefix adapts.
+            pfx = self._dmg_prefix
+            d, idx_h, head = jax.device_get((diag, dmg[0], dmg[1][:pfx]))
+            n_dmg = int(d[_pipe.DIAG_DMG])
+            if n_dmg <= pfx or n_dmg > _pipe.DMG_CAP:
+                self._last_dmg = (idx_h, head)
+            else:
+                m = min(-(-(n_dmg) // 64) * 64, _pipe.DMG_CAP)
+                rest = jax.device_get(dmg[1][pfx:m])
+                self._last_dmg = (
+                    idx_h, np.concatenate([head, rest], axis=0)
+                )
+            if n_dmg <= _pipe.DMG_CAP:
+                # 25% headroom, 64-aligned, floor at the minimum prefix:
+                # shrinks when damage shrinks, grows past mispredictions.
+                self._dmg_prefix = int(
+                    min(
+                        max(_DMG_PREFIX, -(-(n_dmg * 5 // 4) // 64) * 64),
+                        _pipe.DMG_CAP,
+                    )
+                )
             caps = self._caps
             if (
                 d[_pipe.DIAG_VLINES] <= caps.vline

@@ -100,6 +100,52 @@ def test_first_frame_damage_covers_everything():
     np.testing.assert_array_equal(buf.reshape(64, 64, 4), fresh)
 
 
+def test_adaptive_prefix_grow_shrink_bit_exact():
+    """The adaptive damage-readback prefix (renderer.py `_dmg_prefix`)
+    grows past a misprediction (damage > prefix → one remainder slice)
+    and shrinks when damage shrinks, with every cached frame bit-equal
+    to a fresh uncached render."""
+    from forma_tpu.math import AffineTransform
+    from forma_tpu.renderer import _DMG_PREFIX
+
+    w, h = 1024, 256  # 64x16 = 1024 tiles
+    comp = Composition()
+    comp.get_mut_or_insert_default(Order(0)).insert(_square(0, 0, w)).set_props(
+        _solid(Color(0.9, 0.9, 0.95, 1))
+    )
+    sq = comp.get_mut_or_insert_default(Order(5))
+    sq.insert(_square(10, 10, 32)).set_props(_solid(Color(0.8, 0.1, 0.1, 1)))
+    bar = comp.get_mut_or_insert_default(Order(9))
+    bar.insert(
+        PathBuilder()
+        .move_to(Point(500, 0))
+        .line_to(Point(500, h))
+        .line_to(Point(540, h))
+        .line_to(Point(540, 0))
+        .build()
+    ).set_props(_solid(Color(0.1, 0.2, 0.8, 0.9)))
+
+    r = Renderer()
+    cache = r.create_buffer_layer_cache()
+    buf = np.zeros((h, w * 4), np.uint8)
+    buffer = Buffer(buffer=buf, layout=LinearLayout(w, w * 4, h), layer_cache=cache)
+
+    dmg_counts, prefixes = [], []
+    for f in range(8):
+        sq.set_transform(AffineTransform(1, 0, 0, 1, 3.0 * f, 2.0 * f))
+        if 3 <= f <= 5:  # tall bar moves: damage spikes past the prefix
+            bar.set_transform(AffineTransform(1, 0, 0, 1, 30.0 * f, 0))
+        r.render_into(comp, buffer, CLEAR)
+        dmg_counts.append(int(r.last_diag[pipe.DIAG_DMG]))
+        prefixes.append(r._dmg_prefix)
+        fresh = Renderer().render(comp, w, h, CLEAR)
+        np.testing.assert_array_equal(buf.reshape(h, w, 4), fresh, err_msg=str(f))
+
+    assert max(dmg_counts[3:6]) > _DMG_PREFIX, dmg_counts  # misprediction hit
+    assert max(prefixes[3:]) > _DMG_PREFIX, prefixes  # prefix grew
+    assert prefixes[-1] == _DMG_PREFIX, prefixes  # and shrank back
+
+
 def test_write_back_full_fallback():
     # When the compact damage buffers are unavailable (overflow / no diag),
     # _write_back falls back to a full-frame fetch.
