@@ -77,6 +77,14 @@ def main(n=8_900_000, iters=20):
     def keyonly(k):
         return jax.lax.sort((k,), num_keys=1, is_stable=False)
 
+    def iota_pay(k):
+        # Payload VALUES cannot change sort cost (the network moves them
+        # blindly), but measure it anyway: if keys+iota != keys+data, the
+        # two-sort permutation-recovery scheme (round-5 plan #3) has legs.
+        return jax.lax.sort(
+            (k, jax.lax.iota(jnp.uint32, k.shape[0])), num_keys=1, is_stable=False
+        )
+
     def band(k, p, b=64):
         return jax.lax.sort(
             (k.reshape(b, -1), p.reshape(b, -1)),
@@ -89,6 +97,8 @@ def main(n=8_900_000, iters=20):
     print(f"u64      1-op           : {t_u64:7.2f} ms")
     t_key = _time(keyonly, k, iters=iters)
     print(f"keyonly  1-op           : {t_key:7.2f} ms")
+    t_iota = _time(iota_pay, k, iters=iters)
+    print(f"iota-pay (u32,iota) 2-op: {t_iota:7.2f} ms")
     t_st = _time(stable, k, p, iters=iters)
     print(f"stable   pair           : {t_st:7.2f} ms")
     for b in (8, 64, 512):
