@@ -5,12 +5,20 @@ headline paris-30k@1080p line LAST (the driver parses the final line):
 
   solid256           single solid-fill path at 256x256 (dispatch floor)
   styled 1080p       multi-layer gradient + blend-mode city scene
+  texture 1080p      texture-atlas-filled buildings at paris scale
   spaceship          damage-cached incremental animation
   paris 4K animated  per-frame rotation at 3840x2160 (re-sort + repaint)
   paris 1080p anim   per-frame rotation at 1920x1080
   paris 1080p        the headline config (vs the 60 FPS north star)
 
-With --scene X, runs that one config (A/B workflows).  Baseline
+Isolation: the suite runs every config (and the golden check) in its OWN
+subprocess.  Round 4's driver run measured the 4K config 4.5x below its
+standalone number because earlier configs' live device allocations and
+compiled executables degraded it in-process (HBM pressure: 4K holds a
+~530 MB framebuffer next to 8.9M-slot buffers); a fresh process per config
+makes every suite number reproduce its standalone measurement.
+
+With --scene X, runs that one config in-process (A/B workflows).  Baseline
 (BASELINE.md): the reference's north-star target of 60 FPS at 1080p on one
 v5e chip; vs_baseline = fps / 60 for every config.
 
@@ -48,8 +56,12 @@ import time
 
 def verify_goldens() -> tuple:
     """Renders the reference golden scenes on the default device; returns
-    (num_passed, num_total).  Uses the same scene registry as the test
-    suite (tests/e2e_scenes.py)."""
+    (num_passed, num_total, max_diff).  `max_diff` is the measured maximum
+    per-channel difference across every golden — the pass criterion is the
+    reference's own e2e tolerance (<= 8/255 per channel,
+    `e2e-tests/tests/test_env.rs:278`), NOT byte identity; reporting the
+    measured number keeps the claim checkable.  Uses the same scene registry
+    as the test suite (tests/e2e_scenes.py)."""
     import numpy as np
 
     from forma_tpu import Color, Composition
@@ -63,11 +75,11 @@ def verify_goldens() -> tuple:
     )
     clear = Color(1.0, 1.0, 1.0, 0.0)
     renderer = Renderer()
-    n_pass = n_total = 0
+    n_pass = n_total = max_diff = 0
     try:
         from PIL import Image as PILImage
     except ImportError:
-        return 0, 0
+        return 0, 0, 0
     for name, scene in S.all_scenes():
         path = os.path.join(goldens, f"{name}.png")
         if not os.path.exists(path):
@@ -77,13 +89,14 @@ def verify_goldens() -> tuple:
         scene(comp)
         actual = renderer.render(comp, 64, 64, clear_color=clear)
         diff = np.abs(actual.astype(int) - expected.astype(int))
+        max_diff = max(max_diff, int(diff.max()))
         bad = int((diff.max(axis=-1) > 8).sum())
         n_total += 1
         if bad == 0:
             n_pass += 1
         else:
             print(f"# GOLDEN FAIL {name}: {bad} bad pixels", file=sys.stderr)
-    return n_pass, n_total
+    return n_pass, n_total, max_diff
 
 
 def bench_spaceship(width, height, frames, verbose=False) -> dict:
@@ -109,9 +122,11 @@ def bench_spaceship(width, height, frames, verbose=False) -> dict:
         layer_cache=cache,
     )
     clear = Color(0.02, 0.02, 0.08, 1.0)
+    t0 = time.time()
     for _ in range(3):  # warm: compile + caps + cache priming
         ship.step()
         renderer.render_into(comp, buf, clear)
+    warm_s = time.time() - t0
     t0 = time.time()
     for _ in range(frames):
         ship.step()
@@ -123,6 +138,7 @@ def bench_spaceship(width, height, frames, verbose=False) -> dict:
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 60.0, 4),
+        "warmup_s": round(warm_s, 1),
     }
 
 
@@ -145,6 +161,8 @@ def bench_scene(
         scenes.paris30k(comp, width, height, paths=paths)
     elif scene == "styled":
         scenes.paris30k_styled(comp, width, height, paths=paths)
+    elif scene == "texture":
+        scenes.paris30k_textured(comp, width, height, paths=paths)
     elif scene == "solid":
         # BASELINE.md's "single solid-fill path" config: one 256x256 black
         # square — measures the pipeline dispatch floor.
@@ -211,6 +229,7 @@ def bench_scene(
 
     caps = renderer._caps
     n = frames
+    regrows = 0
     import contextlib
 
     for _attempt in range(3):
@@ -249,6 +268,7 @@ def bench_scene(
         if ok:
             break
         # Grow to the observed maxima and re-time.
+        regrows += 1
         renderer.render_device(comp, width, height, clear)
         caps = renderer._caps
         if verbose:
@@ -266,6 +286,7 @@ def bench_scene(
     names = {
         "paris": "paris30k",
         "styled": "paris30k_styled",
+        "texture": "paris30k_textured",
         "solid": "solid1",
         "circles": f"circles{paths}",
     }
@@ -278,6 +299,8 @@ def bench_scene(
         "unit": "frames/s",
         "vs_baseline": round(fps / 60.0, 4),
         "segments_per_s": round(segs_per_s),
+        "warmup_s": round(warm_s, 1),
+        "regrows": regrows,
     }
 
 
@@ -289,8 +312,12 @@ def main():
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument(
         "--scene", default=None,
-        choices=["paris", "styled", "circles", "spaceship", "solid"],
+        choices=["paris", "styled", "texture", "circles", "spaceship", "solid"],
         help="run ONE config; default runs the whole BASELINE.md suite",
+    )
+    ap.add_argument(
+        "--goldens-only", action="store_true",
+        help="run only the golden check; print one JSON result line",
     )
     ap.add_argument("--animate", action="store_true")
     ap.add_argument("--verbose", action="store_true")
@@ -309,69 +336,117 @@ def main():
     )
     args = ap.parse_args()
 
+    if args.scene is None and not args.goldens_only:
+        return run_suite(args)
+
     import forma_tpu
 
     forma_tpu.enable_compilation_cache()
 
+    if args.goldens_only:
+        t0 = time.time()
+        n_pass, n_total, max_diff = verify_goldens()
+        print(
+            json.dumps(
+                {
+                    "goldens_pass": n_pass,
+                    "goldens_total": n_total,
+                    "goldens_max_diff": max_diff,
+                    "goldens_s": round(time.time() - t0, 1),
+                }
+            )
+        )
+        return
+
     goldens_ok = None
+    goldens_max_diff = None
     if not args.no_verify:
         t0 = time.time()
-        n_pass, n_total = verify_goldens()
+        n_pass, n_total, goldens_max_diff = verify_goldens()
         goldens_ok = bool(n_total > 0 and n_pass == n_total)
         print(
-            f"# goldens: {n_pass}/{n_total} bit-exact (tol 8/255) in "
+            f"# goldens: {n_pass}/{n_total} within tol 8/255 "
+            f"(measured max channel diff {goldens_max_diff}) in "
             f"{time.time()-t0:.1f}s",
             file=sys.stderr,
         )
 
     if args.scene == "spaceship":
         out = bench_spaceship(args.width, args.height, args.frames, args.verbose)
-        if goldens_ok is not None:
-            out["goldens_ok"] = goldens_ok
-        print(json.dumps(out))
-        return
-    if args.scene is not None:
+    else:
         out = bench_scene(
             args.scene, args.width, args.height, args.frames,
             paths=args.paths, animate=args.animate, shard=args.shard,
             trace=args.trace, verbose=args.verbose,
         )
-        if goldens_ok is not None:
-            out["goldens_ok"] = goldens_ok
-        print(json.dumps(out))
-        return
-
-    # The suite (BASELINE.md "configs to benchmark").  Headline last.
-    def emit(out):
-        print(json.dumps(out), flush=True)
-
-    emit(bench_scene("solid", 256, 256, args.frames, verbose=args.verbose))
-    emit(
-        bench_scene(
-            "styled", 1920, 1080, args.frames, paths=args.paths,
-            verbose=args.verbose,
-        )
-    )
-    emit(bench_spaceship(1920, 1080, args.frames, args.verbose))
-    emit(
-        bench_scene(
-            "paris", 3840, 2160, args.frames, paths=args.paths,
-            animate=True, verbose=args.verbose,
-        )
-    )
-    emit(
-        bench_scene(
-            "paris", 1920, 1080, args.frames, paths=args.paths,
-            animate=True, verbose=args.verbose,
-        )
-    )
-    out = bench_scene(
-        "paris", 1920, 1080, args.frames, paths=args.paths,
-        verbose=args.verbose,
-    )
     if goldens_ok is not None:
         out["goldens_ok"] = goldens_ok
-    emit(out)
+        out["goldens_max_diff"] = goldens_max_diff
+    print(json.dumps(out))
+
+
+def run_suite(args):
+    """BASELINE.md config matrix, one SUBPROCESS per config (+ one for the
+    golden check) so configs cannot perturb each other — see the module
+    docstring.  Emits each child's JSON line as it completes; headline last,
+    annotated with the golden-check result."""
+    import subprocess
+
+    me = os.path.abspath(__file__)
+
+    def child(extra):
+        cmd = [sys.executable, me] + extra
+        if args.verbose:
+            cmd.append("--verbose")
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        if r.stderr:
+            sys.stderr.write(r.stderr)
+            sys.stderr.flush()
+        lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+        if r.returncode != 0 or not lines:
+            print(f"# SUITE CHILD FAILED ({' '.join(extra)}): rc={r.returncode}",
+                  file=sys.stderr)
+            return None
+        return json.loads(lines[-1])
+
+    gold = None
+    if not args.no_verify:
+        gold = child(["--goldens-only"])
+        if gold is not None:
+            print(
+                f"# goldens: {gold['goldens_pass']}/{gold['goldens_total']} "
+                f"within tol 8/255 (measured max channel diff "
+                f"{gold['goldens_max_diff']}) in {gold['goldens_s']}s",
+                file=sys.stderr,
+            )
+
+    common = [
+        "--frames", str(args.frames), "--paths", str(args.paths), "--no-verify",
+    ]
+    configs = [
+        ["--scene", "solid", "--width", "256", "--height", "256"],
+        ["--scene", "styled", "--width", "1920", "--height", "1080"],
+        ["--scene", "texture", "--width", "1920", "--height", "1080"],
+        ["--scene", "spaceship", "--width", "1920", "--height", "1080"],
+        ["--scene", "paris", "--width", "3840", "--height", "2160", "--animate"],
+        ["--scene", "paris", "--width", "1920", "--height", "1080", "--animate"],
+        ["--scene", "paris", "--width", "1920", "--height", "1080"],  # headline
+    ]
+    failed = False
+    for i, cfg in enumerate(configs):
+        out = child(cfg + common)
+        if out is None:
+            failed = True
+            continue
+        if i == len(configs) - 1 and gold is not None:
+            out["goldens_ok"] = bool(
+                gold["goldens_total"] > 0
+                and gold["goldens_pass"] == gold["goldens_total"]
+            )
+            out["goldens_max_diff"] = gold["goldens_max_diff"]
+        print(json.dumps(out), flush=True)
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -174,6 +174,113 @@ def _polygon(xs, ys) -> Path:
     return b.build()
 
 
+def paris30k_textured(
+    composition: Composition,
+    width: int = 1920,
+    height: int = 1080,
+    paths: int = 30000,
+    seed: int = 30,
+):
+    """Texture-heavy variant of `paris30k`: every building fills from a
+    shared texture atlas (8 distinct 32x32 facade images, affine-mapped per
+    building), roads/parks stay solid.  This is the frame shape the
+    reference paints inside its one GPU kernel via atlas sampling
+    (`gpu/painter/paint.wgsl:702-712`); here it exercises whichever painter
+    handles texture fills at full paris scale — the config the round-4
+    verdict flagged as having no number of record.
+    """
+    from ..math import AffineTransform
+    from ..styling import Image, Texture
+
+    rng = np.random.default_rng(seed)
+
+    composition.get_mut_or_insert_default(Order(0)).insert(
+        _polygon([0, 0, width, width], [0, height, height, 0])
+    ).set_props(
+        Props(func=Func.Draw(Style(fill=Fill.Solid(Color(0.93, 0.91, 0.88, 1.0)))))
+    )
+
+    # 8 shared facade textures (brick/plaster noise), interned once each.
+    images = []
+    for t in range(8):
+        base = 0.45 + 0.05 * t
+        px = rng.uniform(base * 200, base * 255, (32, 32, 3)).astype(np.uint8)
+        rgba = np.concatenate(
+            [px, np.full((32, 32, 1), 255, np.uint8)], axis=-1
+        )
+        images.append(Image.from_srgba(rgba.reshape(-1, 4), 32, 32))
+
+    order = 1
+    n_buildings = int(paths * 0.7)
+    n_roads = int(paths * 0.2)
+    n_parks = paths - n_buildings - n_roads - 1
+
+    cx = rng.uniform(0, width, n_buildings)
+    cy = rng.uniform(0, height, n_buildings)
+    w = rng.uniform(3, 14, n_buildings)
+    h = rng.uniform(3, 14, n_buildings)
+    ang = rng.uniform(0, math.pi, n_buildings)
+    ca, sa = np.cos(ang), np.sin(ang)
+    for i in range(n_buildings):
+        dx = [-w[i], -w[i], w[i], w[i]]
+        dy = [-h[i], h[i], h[i], -h[i]]
+        xs = [cx[i] + ca[i] * a - sa[i] * b for a, b in zip(dx, dy)]
+        ys = [cy[i] + sa[i] * a + ca[i] * b for a, b in zip(dx, dy)]
+        scale = 32.0 / max(2.0 * w[i], 2.0 * h[i])
+        tex = Texture(
+            transform=AffineTransform(
+                ux=scale, vy=scale,
+                tx=-float(min(xs)) * scale, ty=-float(min(ys)) * scale,
+            ),
+            image=images[i % len(images)],
+        )
+        composition.get_mut_or_insert_default(Order(order)).insert(
+            _polygon(xs, ys)
+        ).set_props(Props(func=Func.Draw(Style(fill=Fill.Texture(tex)))))
+        order += 1
+
+    x0 = rng.uniform(-100, width + 100, n_roads)
+    y0 = rng.uniform(-100, height + 100, n_roads)
+    ang = rng.uniform(0, math.pi, n_roads)
+    ln = rng.uniform(100, 600, n_roads)
+    wd = rng.uniform(1.0, 4.0, n_roads)
+    for i in range(n_roads):
+        dx, dy = math.cos(ang[i]), math.sin(ang[i])
+        nx, ny = -dy * wd[i], dx * wd[i]
+        xs = [x0[i] + nx, x0[i] - nx, x0[i] + dx * ln[i] - nx, x0[i] + dx * ln[i] + nx]
+        ys = [y0[i] + ny, y0[i] - ny, y0[i] + dy * ln[i] - ny, y0[i] + dy * ln[i] + ny]
+        composition.get_mut_or_insert_default(Order(order)).insert(
+            _polygon(xs, ys)
+        ).set_props(
+            Props(func=Func.Draw(Style(fill=Fill.Solid(Color(1.0, 1.0, 1.0, 0.9)))))
+        )
+        order += 1
+
+    cx = rng.uniform(0, width, n_parks)
+    cy = rng.uniform(0, height, n_parks)
+    r = rng.uniform(8, 40, n_parks)
+    for i in range(n_parks):
+        b = PathBuilder().move_to(Point(float(cx[i] + r[i]), float(cy[i])))
+        sides = 5
+        for s in range(1, sides + 1):
+            a0 = 2 * math.pi * (s - 0.5) / sides
+            a1 = 2 * math.pi * s / sides
+            b.quad_to(
+                Point(
+                    float(cx[i] + 1.4 * r[i] * math.cos(a0)),
+                    float(cy[i] + 1.4 * r[i] * math.sin(a0)),
+                ),
+                Point(
+                    float(cx[i] + r[i] * math.cos(a1)),
+                    float(cy[i] + r[i] * math.sin(a1)),
+                ),
+            )
+        composition.get_mut_or_insert_default(Order(order)).insert(b.build()).set_props(
+            Props(func=Func.Draw(Style(fill=Fill.Solid(Color(0.55, 0.75, 0.5, 0.85)))))
+        )
+        order += 1
+
+
 def paris30k(
     composition: Composition,
     width: int = 1920,
