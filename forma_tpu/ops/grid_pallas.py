@@ -85,37 +85,93 @@ def _kernel(
             kbuf[:, :, :] = jnp.full((2, CROWS, 1), _IMIN, jnp.int32)
 
     rid = seg_ref[0, 0, :]
-    q_lo = seg_ref[0, 0, 0] // CROWS
-    q_hi = seg_ref[0, 0, B - 1] // CROWS
 
+    # Full-sentinel blocks are exact no-ops: the sort puts sentinel keys
+    # last, so once a block STARTS with a sentinel whose run already began
+    # in an earlier block (prev rid == rid[0], i.e. lane 0 is not a run
+    # boundary), every lane is a boundary-free sentinel with zero
+    # area/cover — cbuf += 0 and kbuf max(_IMIN) are identities, and the
+    # block's chunk == the current chunk (the previous block ended on the
+    # same rid), so no flush is due.  Skipping them drops ~16% of block
+    # work at paris shapes (the ~18% key-padding fraction).  Only the
+    # keyed path can detect sentinels (a clamped rid is ambiguous).
     if with_keys:
-        # First-occurrence mask: rid steps up (nondecreasing, gapless), so a
-        # run's first segment is where rid differs from its predecessor; the
-        # predecessor of lane 0 is the previous block's last rid (SMEM).
-        rid2 = rid[None, :]
-        lane_b = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
-        prev = jnp.where(lane_b == 0, state[2], jnp.roll(rid2, 1, axis=1))
-        fm = rid2 != prev  # [1, B]
-        # Sign-biased key bits: order-preserving for u32 under i32 max, and
-        # SENTINEL (0xFFFFFFFF) stays selectable above the _IMIN identity.
-        khb = seg_ref[0, 4, :][None, :] ^ _IMIN
-        klb = seg_ref[0, 5, :][None, :] ^ _IMIN
-        state[2] = seg_ref[0, 0, B - 1]
+        run_live = jnp.logical_or(
+            seg_ref[0, 4, 0] != -1, state[2] != seg_ref[0, 0, 0]
+        )
+    else:
+        run_live = True
 
-    # One single-pass bf16 matmul covers all three accumulations: the
-    # selector matrix stacks three 32-row bands (area>>8, area&255, cover),
-    # every band's values exactly representable in bf16, with exact f32
-    # accumulation (integer sums < 2^24).
-    onehot = (
-        seg_ref[0, 1, :][:, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (B, NCELL), 1)
-    ).astype(jnp.bfloat16)
-    area = seg_ref[0, 2, :]
-    cover = seg_ref[0, 3, :]
-    a_hi = (area >> 8).astype(jnp.float32)
-    a_lo = (area & 255).astype(jnp.float32)
-    cov_f = cover.astype(jnp.float32)
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (CROWS, B), 0)
+    def _accumulate_block():
+        q_lo = seg_ref[0, 0, 0] // CROWS
+        q_hi = seg_ref[0, 0, B - 1] // CROWS
+
+        if with_keys:
+            # First-occurrence mask: rid steps up (nondecreasing, gapless),
+            # so a run's first segment is where rid differs from its
+            # predecessor; the predecessor of lane 0 is the previous
+            # block's last rid (SMEM).
+            rid2 = rid[None, :]
+            lane_b = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+            prev = jnp.where(lane_b == 0, state[2], jnp.roll(rid2, 1, axis=1))
+            fm = rid2 != prev  # [1, B]
+            # Sign-biased key bits: order-preserving for u32 under i32 max,
+            # and SENTINEL (0xFFFFFFFF) stays selectable above the _IMIN
+            # identity.
+            khb = seg_ref[0, 4, :][None, :] ^ _IMIN
+            klb = seg_ref[0, 5, :][None, :] ^ _IMIN
+
+        # One single-pass bf16 matmul covers all three accumulations: the
+        # selector matrix stacks three 32-row bands (area>>8, area&255,
+        # cover), every band's values exactly representable in bf16, with
+        # exact f32 accumulation (integer sums < 2^24).
+        onehot = (
+            seg_ref[0, 1, :][:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (B, NCELL), 1)
+        ).astype(jnp.bfloat16)
+        area = seg_ref[0, 2, :]
+        cover = seg_ref[0, 3, :]
+        a_hi = (area >> 8).astype(jnp.float32)
+        a_lo = (area & 255).astype(jnp.float32)
+        cov_f = cover.astype(jnp.float32)
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (CROWS, B), 0)
+
+        def chunk_body(q, _):
+            selb = rid[None, :] == (q * CROWS + rows_iota)
+            sel = selb.astype(jnp.float32)
+            m = jnp.concatenate(
+                [sel * a_hi[None, :], sel * a_lo[None, :], sel * cov_f[None, :]],
+                axis=0,
+            ).astype(jnp.bfloat16)
+            out = jnp.dot(m, onehot, preferred_element_type=jnp.float32)
+            asum = out[0:CROWS] * 256.0 + out[CROWS : 2 * CROWS]
+            packed = asum.astype(jnp.int32) * 65536 + out[
+                2 * CROWS : 3 * CROWS
+            ].astype(jnp.int32)
+            if with_keys:
+                sf = selb & fm
+                kh_c = jnp.max(jnp.where(sf, khb, _IMIN), axis=1, keepdims=True)
+                kl_c = jnp.max(jnp.where(sf, klb, _IMIN), axis=1, keepdims=True)
+            cq = state[0]  # read BEFORE flush mutates it
+
+            @pl.when(q != cq)
+            def _advance():
+                flush(q)
+                cbuf[:, :] = packed
+                if with_keys:
+                    kbuf[0] = kh_c
+                    kbuf[1] = kl_c
+
+            @pl.when(q == cq)
+            def _accum():
+                cbuf[:, :] = cbuf[:, :] + packed
+                if with_keys:
+                    kbuf[0] = jnp.maximum(kbuf[0], kh_c)
+                    kbuf[1] = jnp.maximum(kbuf[1], kl_c)
+
+            return 0
+
+        jax.lax.fori_loop(q_lo, q_hi + 1, chunk_body, 0)
 
     def flush(q_new):
         """DMA the finished chunk (and its cover row sums) out."""
@@ -172,42 +228,9 @@ def _kernel(
         state[1] = fc + 1
         state[0] = q_new
 
-    def chunk_body(q, _):
-        selb = rid[None, :] == (q * CROWS + rows_iota)
-        sel = selb.astype(jnp.float32)
-        m = jnp.concatenate(
-            [sel * a_hi[None, :], sel * a_lo[None, :], sel * cov_f[None, :]],
-            axis=0,
-        ).astype(jnp.bfloat16)
-        out = jnp.dot(m, onehot, preferred_element_type=jnp.float32)
-        asum = out[0:CROWS] * 256.0 + out[CROWS : 2 * CROWS]
-        packed = asum.astype(jnp.int32) * 65536 + out[
-            2 * CROWS : 3 * CROWS
-        ].astype(jnp.int32)
-        if with_keys:
-            sf = selb & fm
-            kh_c = jnp.max(jnp.where(sf, khb, _IMIN), axis=1, keepdims=True)
-            kl_c = jnp.max(jnp.where(sf, klb, _IMIN), axis=1, keepdims=True)
-        cq = state[0]  # read BEFORE flush mutates it
-
-        @pl.when(q != cq)
-        def _advance():
-            flush(q)
-            cbuf[:, :] = packed
-            if with_keys:
-                kbuf[0] = kh_c
-                kbuf[1] = kl_c
-
-        @pl.when(q == cq)
-        def _accum():
-            cbuf[:, :] = cbuf[:, :] + packed
-            if with_keys:
-                kbuf[0] = jnp.maximum(kbuf[0], kh_c)
-                kbuf[1] = jnp.maximum(kbuf[1], kl_c)
-
-        return 0
-
-    jax.lax.fori_loop(q_lo, q_hi + 1, chunk_body, 0)
+    pl.when(run_live)(_accumulate_block)
+    if with_keys:
+        state[2] = seg_ref[0, 0, B - 1]
 
     @pl.when(b == nb - 1)
     def _final():

@@ -121,6 +121,48 @@ def test_pallas_grid_emits_run_keys(seed):
     )
 
 
+@pytest.mark.parametrize("seed", [0, 3])
+def test_pallas_grid_skips_full_sentinel_blocks(seed):
+    """A long sentinel tail spanning MULTIPLE full blocks (the padded-key
+    fraction of a real frame, ~18% at paris scale) exercises the
+    sentinel-block skip: full-sentinel blocks are exact no-ops and the
+    kernel bypasses their one-hot/matmul work entirely.  Output must still
+    be bit-identical to the scatter, including the sentinel run's key."""
+    from forma_tpu.ops.grid_pallas import B, grid_build_pallas
+
+    N, R, NV = 6 * B, 224, int(1.5 * B)  # tail = 4.5 blocks of sentinels
+    rid, cell, area, cover, n_runs = _make(N, R, NV, seed)
+
+    rng = np.random.default_rng(200 + seed)
+    kh_of_run = rng.integers(0, 2**31, size=R, dtype=np.uint32)
+    kl_of_run = rng.integers(0, 2**32, size=R, dtype=np.uint32)
+    kh_of_run[min(n_runs, R - 1)] = 0xFFFFFFFF  # SENTINEL key_hi
+    key_hi = kh_of_run[rid]
+    key_lo = kl_of_run[rid]
+
+    grid, rowcov, runkeys = grid_build_pallas(
+        jnp.asarray(rid), jnp.asarray(cell),
+        jnp.asarray(area), jnp.asarray(cover),
+        run_cap=R, interpret=True,
+        key_hi=jnp.asarray(key_hi), key_lo=jnp.asarray(key_lo),
+    )
+    rows = min(n_runs + 1, R)
+    runkeys = np.asarray(runkeys)[:rows]
+    np.testing.assert_array_equal(runkeys[:, 0], kh_of_run[:rows])
+    np.testing.assert_array_equal(runkeys[:, 1], kl_of_run[:rows])
+    val = area.astype(np.int64) * 65536 + cover
+    ref = np.zeros((R, 256), np.int64)
+    np.add.at(ref, (rid, cell), val)
+    np.testing.assert_array_equal(
+        np.asarray(grid)[:rows].astype(np.int64) & 0xFFFFFFFF,
+        ref[:rows].astype(np.uint64).astype(np.int64) & 0xFFFFFFFF,
+    )
+    cov = ((np.asarray(grid)[:rows].astype(np.int64) & 0xFFFF) ^ 0x8000) - 0x8000
+    np.testing.assert_array_equal(
+        np.asarray(rowcov)[:rows], cov.reshape(rows, 16, 16).sum(axis=2)
+    )
+
+
 def test_grid_pallas_full_pipeline_matches_xla(monkeypatch):
     """End-to-end: FORMA_GRID=pallas (interpret on CPU) must render frames
     bit-identical to the XLA scatter path — including the kernel-emitted
