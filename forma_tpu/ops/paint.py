@@ -146,18 +146,35 @@ def _paint_fold_pallas(
     grid, carry_in_s, carry_after_s, style_s,
     clear_color, rows: int, tiles_x: int, k_slots: int,
     features: "Features", ms: int, row_lo=0, tile_unchanged=None,
+    tx_s=None,  # i32 [R] per-run tile x ((row,layer,tx)-sorted order);
+    #             with presorted keys it enables the one-gather table prep
+    presorted: bool = False,
     interpret: bool = False,
 ):
     """XLA-side prep + Pallas fold; returns the frame as [T, TH, TW, 4] f32.
 
-    Builds the per-unit matrix U (grid row | carry | style row), the
-    per-tile unit spans, and the per-block SMEM descriptors, then runs the
-    VMEM-resident fold (ops/paint_pallas.py), specialized on the frame's
-    static features.  Bit-compatible with the wave fold: same integer
-    coverage math, same fill/blend/clip expression trees.  Skipped tiles
-    (damage cache / crop) fold zero units and come back as the clear color,
-    exactly like the wave fold's skip mask; the caller re-emits previous
-    pixels for them.
+    Builds the per-unit matrix U, the per-tile unit spans, and the
+    per-block SMEM descriptors, then runs the VMEM-resident fold
+    (ops/paint_pallas.py), specialized on the frame's static features.
+
+    U comes from one of two preps:
+    - TABLE MODE (presorted keys, no clips): ONE per-run table
+      [grid | carry_in | carry_after | run_tx | style] and ONE wide
+      [u_cap, 384] gather by src2_u — the kernel derives each unit's
+      virtuality from run_tx on-chip.  Measured 3.1 ms vs 11.7 ms for the
+      assembly below at paris shapes (tools/profile_r5.py probe): wide
+      gathers ride an efficient row-DMA path, and the index padding folds
+      the DMA-slack pad into the gather.  Requires src_u == src2_u per
+      unit, which holds exactly when the segment sort used the packed
+      [row|slot|tx] key (presorted).  Clip frames carry a per-UNIT
+      FLAG_UNCLIPPED fixup, so they keep the assembly prep.
+    - ASSEMBLY (fallback): grid-row gather + carry|style gather + concat
+      + pad, with virtuality baked into the rows.
+
+    Bit-compatible with the wave fold: same integer coverage math, same
+    fill/blend/clip expression trees.  Skipped tiles (damage cache / crop)
+    fold zero units and come back as the clear color, exactly like the
+    wave fold's skip mask; the caller re-emits previous pixels for them.
     """
     from . import paint_pallas as _pp
 
@@ -169,6 +186,12 @@ def _paint_fold_pallas(
     run_cap = grid.shape[0]
     lay = _pp.style_layout(features, ms)
     assert style_s.shape[1] == lay.width, (style_s.shape, lay)
+    table_mode = (
+        presorted
+        and tx_s is not None
+        and not features.has_clip
+        and 256 + 33 + lay.width <= _pp.UW
+    )
 
     rowb = (key_u >> TX_BITS).astype(jnp.int32) - 1
     txu = (key_u & jnp.uint32((1 << TX_BITS) - 1)).astype(jnp.int32) - 1
@@ -204,34 +227,49 @@ def _paint_fold_pallas(
         skip = jnp.pad(tile_unchanged, (0, t8 - n_tiles))
         cnt = jnp.where(skip, 0, cnt)
 
-    # The unit matrix: [grid row (zero for virtual) | carry | style row].
-    virt = (virt_u & FLAG_VIRTUAL) != 0
-    g_rows = jnp.where(
-        (virt | ~u_valid)[:, None], 0, grid[jnp.minimum(src_u, run_cap - 1)]
-    )
-    carr_ext = jnp.concatenate(
-        [
-            jnp.concatenate([carry_in_s, style_s], axis=1),
-            jnp.concatenate([carry_after_s, style_s], axis=1),
-        ],
-        axis=0,
-    )  # [2R, 16 + sw]
-    cidx = jnp.minimum(src2_u, run_cap - 1) + jnp.where(virt, run_cap, 0)
-    m_rows = carr_ext[cidx]  # [u_cap, 16 + sw]
-    if features.has_clip:
-        # Draws whose governing full clip was dropped draw unclipped
-        # (`skip_trivial_clips`, FLAG_UNCLIPPED) — a per-UNIT bit, fixed up
-        # on the gathered style lane (elementwise, no extra gather).
-        unclip = (virt_u & FLAG_UNCLIPPED) != 0
-        lane = jnp.arange(m_rows.shape[1], dtype=jnp.int32)
-        m_rows = jnp.where(
-            (lane == 16 + lay.clipped)[None, :] & unclip[:, None],
-            0,
-            m_rows,
-        )
-    u_mat = jnp.concatenate([g_rows, m_rows], axis=1)  # [u_cap, 272 + sw]
     win = -(-(TBp * k_slots + _pp.CH + 8) // _pp.CH) * _pp.CH
-    u_mat = jnp.pad(u_mat, ((0, win), (0, _pp.UW - u_mat.shape[1])))
+    if table_mode:
+        # ONE per-run table + ONE wide gather; the padded index array folds
+        # the DMA-slack rows into the gather (row 0 garbage, masked by cnt).
+        T = jnp.concatenate(
+            [
+                grid, carry_in_s, carry_after_s,
+                tx_s[:, None],
+                style_s,
+                jnp.zeros((run_cap, _pp.UW - 289 - style_s.shape[1]), jnp.int32),
+            ],
+            axis=1,
+        )  # [R, UW]
+        idx = jnp.pad(jnp.minimum(src2_u, run_cap - 1), (0, win))
+        u_mat = T[idx]  # [u_cap + win, UW]
+    else:
+        # The unit matrix: [grid row (zero for virtual) | carry | style row].
+        virt = (virt_u & FLAG_VIRTUAL) != 0
+        g_rows = jnp.where(
+            (virt | ~u_valid)[:, None], 0, grid[jnp.minimum(src_u, run_cap - 1)]
+        )
+        carr_ext = jnp.concatenate(
+            [
+                jnp.concatenate([carry_in_s, style_s], axis=1),
+                jnp.concatenate([carry_after_s, style_s], axis=1),
+            ],
+            axis=0,
+        )  # [2R, 16 + sw]
+        cidx = jnp.minimum(src2_u, run_cap - 1) + jnp.where(virt, run_cap, 0)
+        m_rows = carr_ext[cidx]  # [u_cap, 16 + sw]
+        if features.has_clip:
+            # Draws whose governing full clip was dropped draw unclipped
+            # (`skip_trivial_clips`, FLAG_UNCLIPPED) — a per-UNIT bit, fixed
+            # up on the gathered style lane (elementwise, no extra gather).
+            unclip = (virt_u & FLAG_UNCLIPPED) != 0
+            lane = jnp.arange(m_rows.shape[1], dtype=jnp.int32)
+            m_rows = jnp.where(
+                (lane == 16 + lay.clipped)[None, :] & unclip[:, None],
+                0,
+                m_rows,
+            )
+        u_mat = jnp.concatenate([g_rows, m_rows], axis=1)  # [u_cap, 272 + sw]
+        u_mat = jnp.pad(u_mat, ((0, win), (0, _pp.UW - u_mat.shape[1])))
 
     # Per-block descriptors (SMEM).
     ust_t = ust[:t8].reshape(nblk, TBp)
@@ -262,7 +300,7 @@ def _paint_fold_pallas(
 
     out = _pp.paint_fold_pallas(
         u_mat, blkinfo, clear_color, k_slots=k_slots,
-        features=features, ms=ms, interpret=interpret,
+        features=features, ms=ms, table_mode=table_mode, interpret=interpret,
     )
     return out[:n_tiles].reshape(n_tiles, 4, TH, TW).transpose(0, 2, 3, 1)
 
@@ -653,7 +691,7 @@ def cull_units(key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid):
 
 @partial(
     jax.jit,
-    static_argnames=("rows", "tiles_x", "k_slots", "features", "wave"),
+    static_argnames=("rows", "tiles_x", "k_slots", "features", "wave", "presorted"),
 )
 def paint(
     # paint units (sorted by (tile, layer), culled):
@@ -694,6 +732,10 @@ def paint(
     #             None -> FORMA_WAVE="shrink,floor" env or (4, 256)
     style_s=None,  # i32 [R, 5] per-run rgba bits + fill rule (run_data);
     #                enables the Pallas VMEM-resident fold on simple frames
+    tx_s=None,  # i32 [R] per-run tile x; with `presorted` it enables the
+    #             fold's one-gather table prep (see _paint_fold_pallas)
+    presorted=False,  # static: segments were sorted by the packed
+    #                   [row|slot|tx] key (src_u == src2_u per unit)
 ):
     """Returns the painted frame as linear f32 [rows*16, tiles_x*16, 4].
 
@@ -729,6 +771,7 @@ def paint(
             clear_color, rows, tiles_x, k_slots,
             features, st_stops.shape[1],
             row_lo=row_lo, tile_unchanged=tile_unchanged,
+            tx_s=tx_s, presorted=presorted,
             interpret=jax.default_backend() != "tpu",
         )
         frame = frame_t.reshape(rows, tiles_x, TH, TW, 4)

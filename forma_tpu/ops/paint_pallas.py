@@ -174,14 +174,29 @@ def _gradient_fill(gm, stops, xg, yg, ms: int):
     return chans
 
 
-def _make_kernel(k_slots: int, features, ms: int):
-    """Builds the fold kernel specialized on the frame's static features."""
+def _make_kernel(k_slots: int, features, ms: int, table_mode: bool = False):
+    """Builds the fold kernel specialized on the frame's static features.
+
+    `table_mode`: the unit matrix came from ONE per-RUN table gather
+    (paint._paint_fold_pallas fast path) instead of per-unit assembly.
+    Meta lanes are then [carry_in(16) | carry_after(16) | run_tx(1) |
+    style...] and the kernel derives each unit's virtuality itself: a
+    virtual (gap) unit's owner run sits in an EARLIER tile of the same
+    row, so run_tx != the unit's own tile tx exactly when the unit is
+    virtual.  Virtual units zero the grid half and take carry_after;
+    real units take carry_in — the same rows the XLA prep used to bake
+    in per unit, now selected on-chip (three [TB, *] selects per step,
+    VPU-cheap) so the prep collapses to one wide gather."""
     from .paint import _blend_one  # shared blend expression trees
 
     has_grad = features.has_gradient
     has_clip = features.has_clip
     blend_modes = features.blend_modes
     lay = style_layout(features, ms)
+    stb = 33 if table_mode else 16  # style base within the meta lanes
+    assert not (table_mode and has_clip), (
+        "clip frames carry per-UNIT unclip bits; table mode is per-run"
+    )
 
     def _kernel(info_ref, clear_ref, u_hbm, out_ref, *scratch):
         """One program: fold TB consecutive tiles' units over VMEM pixels.
@@ -199,6 +214,7 @@ def _make_kernel(k_slots: int, features, ms: int):
         uwin = next(it)
         asm = next(it)
         cnt_v = next(it)
+        ttx_v = next(it) if table_mode else None
         dst = next(it)
         xgyg = next(it) if has_grad else None
         if has_clip:
@@ -230,6 +246,11 @@ def _make_kernel(k_slots: int, features, ms: int):
             )
         for t in range(TB):
             cnt_v[pl.ds(t, 1), :] = jnp.full((1, 1), info_ref[0, 0, BI_CNT0 + t])
+        if table_mode:
+            for t in range(TB):
+                ttx_v[pl.ds(t, 1), :] = jnp.full(
+                    (1, 1), info_ref[0, 0, BI_X0 + t] // consts.TILE_WIDTH
+                )
         if has_grad:
             # Global pixel coordinates per tile: lane j of a 256-pixel tile
             # block is pixel (y = j // 16, x = j % 16).
@@ -283,8 +304,16 @@ def _make_kernel(k_slots: int, features, ms: int):
             cover = (g << 16) >> 16
             area = (g - cover) >> 16
 
-            meta = row[:, 256:UW]  # [TB, 128] = carry(16) | style row
-            c16 = meta[:, 0:16]  # i32 carries
+            meta = row[:, 256:UW]  # [TB, 128]
+            if table_mode:
+                # [ci(16) | ca(16) | run_tx(1) | style]: derive virtuality
+                # from the owner run's tile x (see _make_kernel docstring).
+                virt = meta[:, 32:33] != ttx_v[:, :]  # [TB, 1]
+                c16 = jnp.where(virt, meta[:, 16:32], meta[:, 0:16])
+                cover = jnp.where(virt, 0, cover)
+                area = jnp.where(virt, 0, area)
+            else:
+                c16 = meta[:, 0:16]  # i32 carries (virt baked in by prep)
             ops = jnp.concatenate([c16, cover], axis=1)  # [TB, 272]
             b0 = (ops & 255).astype(jnp.bfloat16)
             b1 = ((ops >> 8) & 255).astype(jnp.bfloat16)
@@ -296,7 +325,7 @@ def _make_kernel(k_slots: int, features, ms: int):
             ).astype(jnp.int32)  # [TB, 256] carry + exclusive cover prefix
 
             da = _PDW * ce_exc + area
-            fr_eo = meta[:, 16 + lay.fr : 16 + lay.fr + 1] != 0  # [TB, 1]
+            fr_eo = meta[:, stb + lay.fr : stb + lay.fr + 1] != 0  # [TB, 1]
             recip = jnp.float32(1.0 / _PDA)
             nz = jnp.clip(jnp.abs(da.astype(jnp.float32) * recip), 0.0, 1.0)
             folded = _PDA - jnp.abs((da & (2 * _PDA - 1)) - _PDA)
@@ -307,10 +336,10 @@ def _make_kernel(k_slots: int, features, ms: int):
             cov = cov * present.astype(jnp.float32)
 
             if has_clip:
-                func = meta[:, 16 + lay.func : 16 + lay.func + 1]  # [TB, 1]
+                func = meta[:, stb + lay.func : stb + lay.func + 1]  # [TB, 1]
                 draw = present & (func == 0)
-                layer = meta[:, 16 + lay.layer : 16 + lay.layer + 1]
-                cend = meta[:, 16 + lay.cend : 16 + lay.cend + 1]
+                layer = meta[:, stb + lay.layer : stb + lay.layer + 1]
+                cend = meta[:, stb + lay.cend : stb + lay.cend + 1]
                 is_clip_unit = present & (func == 1)
                 # Clip expiry precedes everything (`painter/mod.rs:302-306`).
                 expired = (clip_last >= 0) & (clip_last < layer) & present
@@ -322,28 +351,28 @@ def _make_kernel(k_slots: int, features, ms: int):
             # Fill evaluation (same select tree as the wave fold).
             fill = [
                 jax.lax.bitcast_convert_type(
-                    meta[:, 16 + lay.fill + ch : 16 + lay.fill + ch + 1],
+                    meta[:, stb + lay.fill + ch : stb + lay.fill + ch + 1],
                     jnp.float32,
                 )
                 for ch in range(4)
             ]  # [TB, 1] solid channels
             if has_grad:
                 gm = jax.lax.bitcast_convert_type(
-                    meta[:, 16 + lay.grad : 16 + lay.grad + 6], jnp.float32
+                    meta[:, stb + lay.grad : stb + lay.grad + 6], jnp.float32
                 )
                 stops = jax.lax.bitcast_convert_type(
-                    meta[:, 16 + lay.stops : 16 + lay.stops + 5 * ms],
+                    meta[:, stb + lay.stops : stb + lay.stops + 5 * ms],
                     jnp.float32,
                 )
                 gf = _gradient_fill(
                     gm, stops, xgyg[:, 0:256], xgyg[:, 256:512], ms
                 )
-                selg = meta[:, 16 + lay.ft : 16 + lay.ft + 1] == 1
+                selg = meta[:, stb + lay.ft : stb + lay.ft + 1] == 1
                 fill = [jnp.where(selg, gg, f) for gg, f in zip(gf, fill)]
 
             src_a = fill[3] * cov
             if has_clip:
-                clipped = meta[:, 16 + lay.clipped : 16 + lay.clipped + 1] == 1
+                clipped = meta[:, stb + lay.clipped : stb + lay.clipped + 1] == 1
                 active = clip_last >= 0
                 src_a = jnp.where(
                     clipped,
@@ -362,7 +391,7 @@ def _make_kernel(k_slots: int, features, ms: int):
             dst_a = dst[:, 768:1024]
             blended = [fill[0], fill[1], fill[2]]
             if blend_modes != (0,):
-                bcode = meta[:, 16 + lay.blend : 16 + lay.blend + 1]
+                bcode = meta[:, stb + lay.blend : stb + lay.blend + 1]
                 for mode in blend_modes:
                     if mode == 0:
                         continue
@@ -397,7 +426,7 @@ def _make_kernel(k_slots: int, features, ms: int):
     return _kernel
 
 
-@partial(jax.jit, static_argnames=("k_slots", "features", "ms", "interpret"))
+@partial(jax.jit, static_argnames=("k_slots", "features", "ms", "table_mode", "interpret"))
 def paint_fold_pallas(
     u_mat,  # i32 [u_alloc, UW] unit rows (tile-then-layer order + DMA slack)
     blkinfo,  # i32 [nblk, BI_W] (reshaped to [nblk, 1, BI_W] for SMEM)
@@ -405,6 +434,8 @@ def paint_fold_pallas(
     k_slots: int,
     features,  # paint.Features — static kernel specialisation
     ms: int,  # gradient stop capacity (st_stops.shape[1])
+    table_mode: bool = False,  # meta = [ci|ca|run_tx|style] from the
+    #                            one-gather prep (see _make_kernel)
     interpret: bool = False,
 ):
     """Returns folded pixels f32 [nblk * TB, 1024] (channel blocks of 256).
@@ -416,14 +447,17 @@ def paint_fold_pallas(
     win = TB * k_slots + CH + 8  # span cap + chunk overshoot + align slack
     win = -(-win // CH) * CH
     assert u_mat.shape[1] == UW
-    assert 256 + 16 + style_layout(features, ms).width <= UW
+    stb = 33 if table_mode else 16
+    assert 256 + stb + style_layout(features, ms).width <= UW
 
     scratch = [
         pltpu.VMEM((win, UW), jnp.int32),
         pltpu.VMEM((TB, UW), jnp.int32),
         pltpu.VMEM((TB, 1), jnp.int32),
-        pltpu.VMEM((TB, 1024), jnp.float32),
     ]
+    if table_mode:
+        scratch.append(pltpu.VMEM((TB, 1), jnp.int32))
+    scratch.append(pltpu.VMEM((TB, 1024), jnp.float32))
     if features.has_gradient:
         scratch.append(pltpu.VMEM((TB, 512), jnp.float32))
     if features.has_clip:
@@ -432,7 +466,7 @@ def paint_fold_pallas(
     scratch.append(pltpu.SemaphoreType.DMA((win // CH,)))
 
     out = pl.pallas_call(
-        _make_kernel(k_slots, features, ms),
+        _make_kernel(k_slots, features, ms, table_mode=table_mode),
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec(

@@ -253,6 +253,8 @@ def _back(
         k_active=jnp.minimum(k_needed, caps.k),
         tile_unchanged=tile_skip,
         style_s=rd["style_s"],
+        tx_s=rd["tx_s"],
+        presorted=presorted,
     )
     packed = _srgb.pack_srgb(frame, channels)
 

@@ -170,6 +170,8 @@ def profile_frame(renderer, composition, width, height, clear_color, channels=No
             rows, tiles_x, caps.k, features,
             k_active=ka,
             style_s=rd["style_s"],
+            tx_s=rd["tx_s"],
+            presorted=slot_bits > 0,
         )
 
     ka = jnp.minimum(cu[7], caps.k)
