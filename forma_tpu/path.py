@@ -214,22 +214,32 @@ class _Primitives:
 
         h = a - b
 
-        cross = _fma(_F32(p2.x) - _F32(p0.x), h.y, -(_F32(p2.y) - _F32(p0.y)) * h.x)
-        cross_recip = _F32(1.0) / cross
+        # Degenerate quads (collinear / coincident control points) produce
+        # inf/NaN through this block BY DESIGN — the `isfinite` guard below
+        # substitutes the collinear parameterization exactly like
+        # `path.rs:322-332`.  errstate keeps the intended NaN flow from
+        # emitting RuntimeWarnings in the library's hot path.
+        with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+            cross = _fma(
+                _F32(p2.x) - _F32(p0.x), h.y, -(_F32(p2.y) - _F32(p0.y)) * h.x
+            )
+            cross_recip = _F32(1.0) / cross
 
-        x0 = _fma(a.x, h.x, a.y * h.y) * cross_recip
-        x2 = _fma(b.x, h.x, b.y * h.y) * cross_recip
-        dx_recip = _F32(1.0) / (x2 - x0)
+            x0 = _fma(a.x, h.x, a.y * h.y) * cross_recip
+            x2 = _fma(b.x, h.x, b.y * h.y) * cross_recip
+            dx_recip = _F32(1.0) / (x2 - x0)
 
-        scale = abs(cross / (h.len() * (x2 - x0)))
+            scale = abs(cross / (h.len() * (x2 - x0)))
 
-        k0 = curvature(x0)
-        k2 = curvature(x2)
+            k0 = curvature(x0)
+            k2 = curvature(x2)
 
-        dk = k2 - k0
-        current_curvature = _F32(
-            _F32(0.5) * abs(dk) * _F32(np.sqrt(_F32(scale * pixel_accuracy_recip)))
-        )
+            dk = k2 - k0
+            current_curvature = _F32(
+                _F32(0.5)
+                * abs(dk)
+                * _F32(np.sqrt(_F32(scale * pixel_accuracy_recip)))
+            )
 
         # Points are collinear (path.rs:322-332): values chosen so the
         # resulting points land at t = 0.5 and t = 1.0.
