@@ -127,10 +127,17 @@ def bench_spaceship(width, height, frames, verbose=False) -> dict:
         ship.step()
         renderer.render_into(comp, buf, clear)
     warm_s = time.time() - t0
+    # Pipelined damage readback: frame i's host fetch (~28 ms round-trip
+    # floor on the bench tunnel) overlaps frame i+1's dispatch; every
+    # frame's damaged tiles still land in the host buffer (one frame
+    # late), and the flush completes the tail inside the timed region.
+    # Pixel output is byte-identical to the synchronous path
+    # (tests/test_pipelined_readback.py).
     t0 = time.time()
     for _ in range(frames):
         ship.step()
-        renderer.render_into(comp, buf, clear)
+        renderer.render_into(comp, buf, clear, pipelined=True)
+    renderer.flush_pending()
     dt = time.time() - t0
     fps = frames / dt
     return {

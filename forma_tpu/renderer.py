@@ -84,6 +84,7 @@ class Renderer:
         self._last_tver = None
         self._announced_scale = 1.0
         self._dmg_prefix = _DMG_PREFIX  # adaptive damage-readback prefix
+        self._pending = None  # in-flight pipelined frame (ticket, buffer, ...)
         # Line-sharded multi-chip path state: round-robin endpoint-pair
         # arrays (cached per geometry version + shard count) and its own
         # capacity buckets (per-shard sized — ~1/N of the single-chip ones).
@@ -365,6 +366,7 @@ class Renderer:
         clear_color: Color = Color(0.0, 0.0, 0.0, 1.0),
         channels=RGBA,
         crop=None,
+        pipelined: bool = False,
     ):
         """Renders into a `Buffer` (numpy u8 [H, width_stride]); pixels
         outside `crop` (a tile-aligned `Rect`) are left untouched, matching
@@ -373,12 +375,31 @@ class Renderer:
         With `buffer.layer_cache` set, unchanged tiles (same layer set, all
         layers' is_unchanged bits, same clear color) re-emit the previous
         frame's pixels and skip painting entirely — the reference's
-        damage-cache fast path (`tile_unchanged.rs` + `CachedTile`)."""
+        damage-cache fast path (`tile_unchanged.rs` + `CachedTile`).
+
+        `pipelined=True` (cached, un-cropped renders only) overlaps the
+        damage readback with the NEXT frame's device dispatch: the call
+        returns after writing the PREVIOUS frame's pixels into `buffer`
+        (one frame of latency, the standard swap-chain trade), and
+        `flush_pending()` completes the final frame.  Pixel output over the
+        whole animation is byte-identical to the synchronous path — the
+        host round trip (~28 ms on the bench tunnel) hides under the next
+        frame's compute instead of serializing with it."""
         from . import consts as _c
 
         layout = buffer.layout
         w, h = layout.width(), layout.height()
         cache = buffer.layer_cache
+        if pipelined and cache is not None and crop is None:
+            t = self._dispatch_cached(
+                composition, cache, w, h, clear_color, channels
+            )
+            prev = self._pending
+            self._pending = (t, buffer, layout, h, w)
+            if prev is not None:
+                self._complete_pending(prev, next_ticket=t)
+            return
+        self.flush_pending()
         if crop is not None:
             # Work-culling crop: only tiles inside the rect paint
             # (`cpu/renderer.rs:38-53`).  The damage cache SURVIVES cropped
@@ -423,6 +444,27 @@ class Renderer:
         )
         self._write_back(buffer, layout, frame, d, h, w)
 
+    def flush_pending(self):
+        """Completes the in-flight `render_into(pipelined=True)` frame, if
+        any: blocks on its damage readback and writes its pixels into its
+        buffer.  Call once after the last pipelined frame; synchronous
+        render entry points flush automatically."""
+        prev = self._pending
+        if prev is None:
+            return
+        self._pending = None
+        self._complete_pending(prev, next_ticket=None)
+
+    def _complete_pending(self, pend, next_ticket=None):
+        """Resolves a pipelined frame and writes it back.  If resolving
+        forced a capacity re-render (scene growth), the successor ticket —
+        dispatched against the now-corrected cache arrays — is re-issued."""
+        t, buffer, layout, h, w = pend
+        frame, d = self._resolve_cached(t)
+        if t.get("recovered") and next_ticket is not None:
+            self._redispatch_cached(next_ticket)
+        self._write_back(buffer, layout, frame, d, h, w)
+
     def _write_back(self, buffer, layout, frame, d, h, w, rect=None):
         """Damage-aware host write: only changed tiles' pixels were fetched
         from the device and only they are written — the write/transfer side
@@ -455,7 +497,28 @@ class Renderer:
         With `crop`, out-of-crop tiles skip painting and re-emit their cached
         pixels; the is_unchanged bits are NOT updated (a cropped render must
         not certify out-of-crop tiles as current), and the whole-frame
-        no-dispatch key resets so the next full render re-validates."""
+        no-dispatch key resets so the next full render re-validates.
+
+        Split into dispatch (enqueue the device program, start async host
+        copies, chain the device cache state) and resolve (block on the
+        damage fetch, handle capacity growth) so `render_into(pipelined=
+        True)` can overlap frame i's readback with frame i+1's dispatch."""
+        self.flush_pending()
+        t = self._dispatch_cached(
+            composition, cache, width, height, clear_color, channels, crop
+        )
+        return self._resolve_cached(t)
+
+    def _dispatch_cached(
+        self, composition, cache, width, height, clear_color, channels,
+        crop=None,
+    ):
+        """Enqueues one cached-path render and starts the async damage
+        readback; returns a ticket for `_resolve_cached`.  The ticket stashes
+        every dispatch input so a capacity overflow discovered at resolve
+        time (rare: scene growth) can re-render THIS frame with grown
+        buckets — and so an already-dispatched successor can be re-issued
+        against the corrected cache state (`_redispatch_cached`)."""
         import jax.numpy as jnp
 
         composition.compact_geom()
@@ -477,12 +540,8 @@ class Renderer:
             width, height, chans, clear_color,
         )
         if cache.prev_frame is not None and getattr(cache, "_vkey", None) == vkey:
-            if self.last_diag is not None:
-                self.last_diag = self.last_diag.copy()
-                self.last_diag[_pipe.DIAG_K] = 0  # nothing painted
-                self.last_diag[_pipe.DIAG_DMG] = 0  # nothing to write back
-            self._last_dmg = None
-            return cache.prev_frame, self.last_diag
+            # Completely unchanged scene: no device dispatch at all.
+            return {"noop": True, "cache": cache}
 
         px, py, line_slot, uniq = self._prepare_geometry(composition)
         self._estimate_caps(composition, width, height)
@@ -531,28 +590,111 @@ class Renderer:
         if crop is not None:
             crop_y_t = (jnp.int32(crop[0]), jnp.int32(crop[1]))
             crop_x_t = (jnp.int32(crop[2]), jnp.int32(crop[3]))
+
+        t = {
+            "noop": False,
+            "cache": cache,
+            "inputs": (px, py, line_slot, g_slot, g_valid, g_t, g_has_t, st,
+                       clear),
+            "prev": (prev_frame, prev_counts, jnp.asarray(st_unchanged),
+                     jnp.asarray(cache_ok)),
+            "dims": (width, height, rows, tiles_x),
+            "chans": chans,
+            "features": st_host.features,
+            "crop": (crop_x_t, crop_y_t),
+            "recovered": False,
+        }
+        self._issue_cached(t)
+
+        # Device-side cache chaining: the NEXT dispatch may consume these
+        # before this frame's diagnostics are even fetched (pipelined mode);
+        # `_resolve_cached` corrects them if a capacity overflow forces a
+        # re-render.
+        cache.prev_frame = t["frame"]
+        cache.prev_counts = t["counts"]
+        cache.width, cache.height = width, height
+        cache.channels = chans
+        cache.clear_color = clear_color
+        if crop is None:
+            cache._vkey = vkey
+            # Mark every enabled rendered layer unchanged for this cache slot.
+            if has_layers:
+                reg.unchanged[st_host.lslot] = np.where(
+                    reg.valid[st_host.lslot],
+                    reg.unchanged[st_host.lslot] | bit,
+                    reg.unchanged[st_host.lslot] & ~bit,
+                )
+        else:
+            cache._vkey = None
+        return t
+
+    def _issue_cached(self, t):
+        """Enqueues the device program for a ticket with the CURRENT caps +
+        its stashed prev state, and starts the async damage readback."""
+        width, height, rows, tiles_x = t["dims"]
+        prev_frame, prev_counts, st_unchanged, cache_ok = t["prev"]
+        crop_x_t, crop_y_t = t["crop"]
+        frame, diag, counts, dmg = _pipe.render_frame_cached(
+            *t["inputs"],
+            prev_frame, prev_counts, st_unchanged, cache_ok,
+            width, height, rows, tiles_x,
+            self._caps, t["features"], t["chans"],
+            crop_x=crop_x_t, crop_y=crop_y_t,
+        )
+        # Adaptive damage readback: the fixed DMG_CAP-sized fetch shipped
+        # ~1 MB per frame — measured as the ENTIRE spaceship frame budget
+        # through the bench tunnel (~30-43 ms per host round trip,
+        # ~28 MB/s).  Round trip 1 ships diag + dmg indices + a pixel
+        # prefix sized from the PREVIOUS frame's damage (damage is
+        # frame-coherent in animations), so steady-state incremental frames
+        # cost ONE host round trip with bytes ~ actual damage; a
+        # mispredicted frame fetches one 64-aligned remainder slice and the
+        # prefix adapts.  The copies start now so they overlap any host
+        # work — and, in pipelined mode, the next frame's dispatch.
+        pfx = self._dmg_prefix
+        head = dmg[1][:pfx]
+        for a in (diag, dmg[0], head):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass  # backends without async D2H fall back to the blocking get
+        t.update(frame=frame, diag=diag, counts=counts, dmg=dmg, head=head,
+                 pfx=pfx, caps=self._caps)
+
+    def _redispatch_cached(self, t):
+        """Re-issues an in-flight ticket after an earlier frame's capacity
+        recovery invalidated its prev-state inputs: takes the corrected
+        cache arrays + the grown caps and re-enqueues.  No-op for tickets
+        that never dispatched (unchanged-scene fast path)."""
+        if t["noop"]:
+            return
+        cache = t["cache"]
+        _, _, st_unchanged, cache_ok = t["prev"]
+        t["prev"] = (cache.prev_frame, cache.prev_counts, st_unchanged,
+                     cache_ok)
+        self._issue_cached(t)
+        cache.prev_frame = t["frame"]
+        cache.prev_counts = t["counts"]
+
+    def _resolve_cached(self, t):
+        """Blocks on a ticket's damage readback, growing capacity buckets
+        and re-rendering on overflow; returns (frame, diagnostics) and
+        leaves `self._last_dmg` holding the compact damaged-tile data."""
         import jax
 
-        for _ in range(8):
-            frame, diag, counts, dmg = _pipe.render_frame_cached(
-                px, py, line_slot, g_slot, g_valid, g_t, g_has_t, st, clear,
-                prev_frame, prev_counts, jnp.asarray(st_unchanged),
-                jnp.asarray(cache_ok),
-                width, height, rows, tiles_x,
-                self._caps, st_host.features, chans,
-                crop_x=crop_x_t, crop_y=crop_y_t,
-            )
-            # Adaptive damage readback: the fixed DMG_CAP-sized fetch
-            # shipped ~1 MB per frame — measured as the ENTIRE spaceship
-            # frame budget through the bench tunnel (~30-43 ms per host
-            # round trip, ~28 MB/s).  Round trip 1 ships diag + dmg
-            # indices + a pixel prefix sized from the PREVIOUS frame's
-            # damage (damage is frame-coherent in animations), so
-            # steady-state incremental frames cost ONE round trip with
-            # bytes ~ actual damage; a mispredicted frame fetches one
-            # 64-aligned remainder slice and the prefix adapts.
-            pfx = self._dmg_prefix
-            d, idx_h, head = jax.device_get((diag, dmg[0], dmg[1][:pfx]))
+        if t["noop"]:
+            cache = t["cache"]
+            if self.last_diag is not None:
+                self.last_diag = self.last_diag.copy()
+                self.last_diag[_pipe.DIAG_K] = 0  # nothing painted
+                self.last_diag[_pipe.DIAG_DMG] = 0  # nothing to write back
+            self._last_dmg = None
+            return cache.prev_frame, self.last_diag
+
+        for attempt in range(8):
+            frame, diag, counts, dmg = t["frame"], t["diag"], t["counts"], t["dmg"]
+            pfx = t["pfx"]
+            d, idx_h, head = jax.device_get((diag, dmg[0], t["head"]))
             n_dmg = int(d[_pipe.DIAG_DMG])
             if n_dmg <= pfx or n_dmg > _pipe.DMG_CAP:
                 self._last_dmg = (idx_h, head)
@@ -571,7 +713,7 @@ class Renderer:
                         _pipe.DMG_CAP,
                     )
                 )
-            caps = self._caps
+            caps = t["caps"]
             if (
                 d[_pipe.DIAG_VLINES] <= caps.vline
                 and d[_pipe.DIAG_RUNS] <= caps.run
@@ -581,32 +723,24 @@ class Renderer:
                 break
             self.regrow_count += 1
             h = self._cap_headroom()
+            caps = self._caps
             self._caps = _pipe.Caps(
                 vline=max(caps.vline, _bucket_fine(int(d[_pipe.DIAG_VLINES] * h) + 1)),
                 run=max(caps.run, _bucket_fine(int(d[_pipe.DIAG_RUNS] * h))),
                 virt=max(caps.virt, _bucket_fine(int(d[_pipe.DIAG_VIRT] * h) + 1)),
                 k=max(caps.k, _bucket(max(int(d[_pipe.DIAG_K] * h), 1), lo=4)),
             )
+            # Re-render THIS frame against its stashed prev state with the
+            # grown buckets, and correct the chained cache arrays.
+            t["recovered"] = True
+            self._issue_cached(t)
+            cache = t["cache"]
+            cache.prev_frame = t["frame"]
+            cache.prev_counts = t["counts"]
         else:
             raise RuntimeError(f"capacity growth did not converge: {d}")
 
         self.last_diag = d
-        cache.prev_frame = frame
-        cache.prev_counts = counts
-        cache.width, cache.height = width, height
-        cache.channels = chans
-        cache.clear_color = clear_color
-        if crop is None:
-            cache._vkey = vkey
-            # Mark every enabled rendered layer unchanged for this cache slot.
-            if has_layers:
-                reg.unchanged[st_host.lslot] = np.where(
-                    reg.valid[st_host.lslot],
-                    reg.unchanged[st_host.lslot] | bit,
-                    reg.unchanged[st_host.lslot] & ~bit,
-                )
-        else:
-            cache._vkey = None
         return frame, d
 
     def render_device_sharded(
@@ -875,6 +1009,7 @@ class Renderer:
         """
         import jax.numpy as jnp
 
+        self.flush_pending()
         composition.compact_geom()
         composition._shared.props_interner.compact()
 
