@@ -25,6 +25,16 @@ PIXEL_AREA = PIXEL_WIDTH * PIXEL_WIDTH
 PIXEL_DOUBLE_AREA = 2 * PIXEL_AREA  # 512
 
 # Maximum render-target dimensions (forma/src/consts.rs:25-29).
+#
+# These are FORMAT limits (the bit-field layout below is derived from
+# them, exactly as `BitFieldMap` derives the reference's).  The measured
+# single-chip envelope on a v5e (tools/envelope_probe.py, round 5):
+# 8192x8192 renders fine (154 ms warm, paris scene); 16384x8192 fails to
+# compile on the current stack (the f32 paint intermediates approach
+# HBM); 140,000 LIVE distinct layers render bit-exactly through the
+# two-key wide sort path (slot_bits == 0) — the 2^21 - 1 LAYER_LIMIT
+# below is the key-format capacity, enforced by `Order`, not a measured
+# single-frame population.
 MAX_WIDTH = 1 << 16
 MAX_HEIGHT = 1 << 15
 MAX_WIDTH_SHIFT = 16

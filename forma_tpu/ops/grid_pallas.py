@@ -37,8 +37,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B = 1024  # segments per grid step (2048 measured 2% slower: onehot cost doubles per block while block count halves)
-CROWS = 32  # grid rows per output chunk / DMA flush
+import os as _os
+
+# Segments per grid step and grid rows per output chunk / DMA flush.
+# Defaults re-validated in round 5 (tools/pallas_grid_probe.py --time):
+# B=2048 was 2% slower pre-runkeys (onehot cost doubles per block while
+# block count halves); env overrides exist for A/B probes only.
+B = int(_os.environ.get("FORMA_GRID_B", "1024"))
+CROWS = int(_os.environ.get("FORMA_GRID_CROWS", "32"))
 NCELL = 256  # cells per run (16x16 tile)
 
 

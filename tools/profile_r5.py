@@ -256,7 +256,21 @@ def main(paths=30000, width=1920, height=1080):
         fold_total, key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid,
         grid, rd["carry_in_s"], rd["carry_after_s"], rd["style_s"], clear,
     )
-    print(f"paint fold total (prep + kernel):      {t_fold:8.2f} ms")
+    print(f"paint fold total (assembly prep):      {t_fold:8.2f} ms")
+
+    def fold_table(key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid,
+                   grid, ci, ca, ss, txs, clear):
+        return _paint._paint_fold_pallas(
+            key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid,
+            grid, ci, ca, ss, clear, rows, tiles_x, k_slots,
+            features, ms, tx_s=txs, presorted=True,
+        )
+    t_foldt = _timeit(
+        fold_table, key_u, layer_u, src_u, src2_u, virt_u, k_u, u_valid,
+        grid, rd["carry_in_s"], rd["carry_after_s"], rd["style_s"],
+        rd["tx_s"], clear,
+    )
+    print(f"paint fold total (table-mode prep):    {t_foldt:8.2f} ms")
 
     u_mat = jax.jit(concat_pad)(g_rows, m_rows)
     ust = jax.jit(boundary_ust)(key_u, u_valid)
