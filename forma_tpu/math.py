@@ -24,6 +24,39 @@ def _f32(v) -> float:
     return float(np.float32(v))
 
 
+def canon_f32_bits(v: float) -> int:
+    """Canonical f32 bit pattern for hashing/equality — the reference's
+    `CanonBits` (forma/src/utils/mod.rs:28-44): every NaN collapses to the
+    canonical quiet NaN and -0.0 to +0.0, so NaN-valued props intern equal
+    and +-0 hash identically."""
+    f = np.float32(v)
+    if np.isnan(f):
+        return 0x7FC00000
+    if f == 0.0:
+        return 0
+    return int(f.view(np.uint32))
+
+
+def _canon_eq_hash(cls, fields):
+    """Installs CanonBits-based __eq__/__hash__ on a frozen dataclass whose
+    float fields should compare by canonical f32 bits."""
+
+    def key(self):
+        return tuple(canon_f32_bits(getattr(self, f)) for f in fields)
+
+    def __eq__(self, other):
+        if other.__class__ is not cls:
+            return NotImplemented
+        return key(self) == key(other)
+
+    def __hash__(self):
+        return hash(key(self))
+
+    cls.__eq__ = __eq__
+    cls.__hash__ = __hash__
+    return cls
+
+
 def approx_atan2(y: float, x: float) -> float:
     """Polynomial atan2 approximation (forma/src/math/point.rs:53-78).
 
@@ -89,6 +122,9 @@ class Point:
         return Point(self.x / s, self.y / s)
 
 
+_canon_eq_hash(Point, ("x", "y"))
+
+
 @dataclass(frozen=True)
 class AffineTransform:
     """2x3 affine transform; rows are [ux vx tx; uy vy ty]
@@ -117,6 +153,9 @@ class AffineTransform:
     def from_array(a) -> "AffineTransform":
         ux, uy, vx, vy, tx, ty = a
         return AffineTransform(ux, uy, vx, vy, tx, ty)
+
+
+_canon_eq_hash(AffineTransform, ("ux", "uy", "vx", "vy", "tx", "ty"))
 
 
 class GeomPresTransformError(ValueError):

@@ -15,12 +15,16 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-from .math import AffineTransform, Point
+from .math import AffineTransform, Point, _canon_eq_hash
 
 
 @dataclass(frozen=True)
 class Color:
-    """Linear-space RGBA color with f32 components."""
+    """Linear-space RGBA color with f32 components.
+
+    Equality and hashing go through canonical f32 bits (`CanonBits`,
+    forma/src/utils/mod.rs:28-44): NaN-valued colors intern equal and
+    +-0.0 hash identically, matching the reference's props interner."""
 
     r: float = 0.0
     g: float = 0.0
@@ -29,6 +33,9 @@ class Color:
 
     def to_array(self) -> Tuple[float, float, float, float]:
         return (self.r, self.g, self.b, self.a)
+
+
+_canon_eq_hash(Color, ("r", "g", "b", "a"))
 
 
 class FillRule(enum.Enum):

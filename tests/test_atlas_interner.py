@@ -126,3 +126,24 @@ def test_bulk_set_transforms_matches_individual():
         c2.set_transforms([0], np.asarray([[2.0, 0, 0, 2.0, 0, 0]], np.float32))
     with pytest.raises(KeyError):
         c2.set_transforms([55], np.asarray([t], np.float32))
+
+
+def test_canon_bits_nan_and_signed_zero():
+    """`CanonBits` semantics (forma/src/utils/mod.rs:28-44): NaN-valued
+    props intern equal (all NaNs collapse to the canonical pattern) and
+    -0.0 hashes/compares identical to +0.0."""
+    from forma_tpu import Color, Fill, Func, Props, Style
+    from forma_tpu.math import AffineTransform
+
+    nan = float("nan")
+    assert Color(nan, 0.0, 0.0, 1.0) == Color(nan, 0.0, 0.0, 1.0)
+    assert hash(Color(nan, 0.0, -0.0, 1.0)) == hash(Color(nan, 0.0, 0.0, 1.0))
+    assert Color(-0.0, 0, 0, 1) == Color(0.0, 0, 0, 1)
+    assert Color(1.0, 0, 0, 1) != Color(0.5, 0, 0, 1)
+    assert AffineTransform(tx=nan) == AffineTransform(tx=nan)
+    assert AffineTransform(tx=-0.0) == AffineTransform()
+
+    it = Interner()
+    a = it.acquire(Props(func=Func.Draw(Style(fill=Fill.Solid(Color(nan, 0, 0, 1))))))
+    b = it.acquire(Props(func=Func.Draw(Style(fill=Fill.Solid(Color(nan, 0, -0.0, 1))))))
+    assert a is b and len(it) == 1
