@@ -6,6 +6,8 @@ headline paris-30k@1080p line LAST (the driver parses the final line):
   solid256           single solid-fill path at 256x256 (dispatch floor)
   styled 1080p       multi-layer gradient + blend-mode city scene
   texture 1080p      texture-atlas-filled buildings at paris scale
+  svgparse 1080p     the paris scene serialized to SVG markup and run
+                     through the full parser (demos/svg.py) before rendering
   spaceship          damage-cached incremental animation
   paris 4K animated  per-frame rotation at 3840x2160 (re-sort + repaint)
   paris 1080p anim   per-frame rotation at 1920x1080
@@ -170,6 +172,13 @@ def bench_scene(
         scenes.paris30k_styled(comp, width, height, paths=paths)
     elif scene == "texture":
         scenes.paris30k_textured(comp, width, height, paths=paths)
+    elif scene == "svgparse":
+        # End-to-end parsed-SVG config: serialize the paris scene to SVG
+        # markup and run it through the full parser (demos/svg.py) before
+        # rendering — the reference's actual svg-demo input path.
+        from forma_tpu.demos.svg import Svg
+
+        Svg(scenes.paris30k_svg_text(width, height, paths=paths)).compose(comp)
     elif scene == "solid":
         # BASELINE.md's "single solid-fill path" config: one 256x256 black
         # square — measures the pipeline dispatch floor.
@@ -294,6 +303,7 @@ def bench_scene(
         "paris": "paris30k",
         "styled": "paris30k_styled",
         "texture": "paris30k_textured",
+        "svgparse": "paris30k_svgparse",
         "solid": "solid1",
         "circles": f"circles{paths}",
     }
@@ -319,7 +329,10 @@ def main():
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument(
         "--scene", default=None,
-        choices=["paris", "styled", "texture", "circles", "spaceship", "solid"],
+        choices=[
+            "paris", "styled", "texture", "svgparse", "circles", "spaceship",
+            "solid",
+        ],
         help="run ONE config; default runs the whole BASELINE.md suite",
     )
     ap.add_argument(
@@ -434,6 +447,7 @@ def run_suite(args):
         ["--scene", "solid", "--width", "256", "--height", "256"],
         ["--scene", "styled", "--width", "1920", "--height", "1080"],
         ["--scene", "texture", "--width", "1920", "--height", "1080"],
+        ["--scene", "svgparse", "--width", "1920", "--height", "1080"],
         ["--scene", "spaceship", "--width", "1920", "--height", "1080"],
         ["--scene", "paris", "--width", "3840", "--height", "2160", "--animate"],
         ["--scene", "paris", "--width", "1920", "--height", "1080", "--animate"],

@@ -281,28 +281,18 @@ def paris30k_textured(
         order += 1
 
 
-def paris30k(
-    composition: Composition,
-    width: int = 1920,
-    height: int = 1080,
-    paths: int = 30000,
-    seed: int = 30,
-):
-    """Synthesized city-map stress scene with ~`paths` paths.
+def _paris30k_items(width, height, paths=30000, seed=30):
+    """Geometry/color item stream shared by `paris30k` (direct composition)
+    and `paris30k_svg_text` (SVG markup), so the two forms are the SAME
+    scene and a parsed-SVG render can be differenced against the direct one.
 
-    Mix: 70% building footprints (quads, small), 20% road segments (long
-    thin quads), 10% park blobs (quadratic-Bezier rounded polygons).
+    Yields ("poly", xs, ys, Color) and ("blob", (sx, sy), [(cp, end), ...],
+    Color) in draw order.
     """
     rng = np.random.default_rng(seed)
+    yield ("poly", [0, 0, width, width], [0, height, height, 0],
+           Color(0.93, 0.91, 0.88, 1.0))
 
-    # Background.
-    composition.get_mut_or_insert_default(Order(0)).insert(
-        _polygon([0, 0, width, width], [0, height, height, 0])
-    ).set_props(
-        Props(func=Func.Draw(Style(fill=Fill.Solid(Color(0.93, 0.91, 0.88, 1.0)))))
-    )
-
-    order = 1
     n_buildings = int(paths * 0.7)
     n_roads = int(paths * 0.2)
     n_parks = paths - n_buildings - n_roads - 1
@@ -320,16 +310,8 @@ def paris30k(
         dy = [-h[i], h[i], h[i], -h[i]]
         xs = [cx[i] + ca[i] * a - sa[i] * b for a, b in zip(dx, dy)]
         ys = [cy[i] + sa[i] * a + ca[i] * b for a, b in zip(dx, dy)]
-        composition.get_mut_or_insert_default(Order(order)).insert(
-            _polygon(xs, ys)
-        ).set_props(
-            Props(
-                func=Func.Draw(
-                    Style(fill=Fill.Solid(Color(shade[i], shade[i] * 0.95, shade[i] * 0.9, 1.0)))
-                )
-            )
-        )
-        order += 1
+        yield ("poly", xs, ys,
+               Color(shade[i], shade[i] * 0.95, shade[i] * 0.9, 1.0))
 
     # Roads: long thin quads.
     x0 = rng.uniform(-100, width + 100, n_roads)
@@ -342,34 +324,93 @@ def paris30k(
         nx, ny = -dy * wd[i], dx * wd[i]
         xs = [x0[i] + nx, x0[i] - nx, x0[i] + dx * ln[i] - nx, x0[i] + dx * ln[i] + nx]
         ys = [y0[i] + ny, y0[i] - ny, y0[i] + dy * ln[i] - ny, y0[i] + dy * ln[i] + ny]
-        composition.get_mut_or_insert_default(Order(order)).insert(
-            _polygon(xs, ys)
-        ).set_props(
-            Props(func=Func.Draw(Style(fill=Fill.Solid(Color(1.0, 1.0, 1.0, 0.9)))))
-        )
-        order += 1
+        yield ("poly", xs, ys, Color(1.0, 1.0, 1.0, 0.9))
 
     # Parks: rounded blobs from quads.
     cx = rng.uniform(0, width, n_parks)
     cy = rng.uniform(0, height, n_parks)
     r = rng.uniform(8, 40, n_parks)
+    sides = 5
     for i in range(n_parks):
-        b = PathBuilder().move_to(Point(float(cx[i] + r[i]), float(cy[i])))
-        sides = 5
+        segs = []
         for s in range(1, sides + 1):
             a0 = 2 * math.pi * (s - 0.5) / sides
             a1 = 2 * math.pi * s / sides
-            b.quad_to(
-                Point(
-                    float(cx[i] + 1.4 * r[i] * math.cos(a0)),
-                    float(cy[i] + 1.4 * r[i] * math.sin(a0)),
-                ),
-                Point(
-                    float(cx[i] + r[i] * math.cos(a1)),
-                    float(cy[i] + r[i] * math.sin(a1)),
-                ),
+            segs.append(
+                (
+                    (cx[i] + 1.4 * r[i] * math.cos(a0),
+                     cy[i] + 1.4 * r[i] * math.sin(a0)),
+                    (cx[i] + r[i] * math.cos(a1),
+                     cy[i] + r[i] * math.sin(a1)),
+                )
             )
-        composition.get_mut_or_insert_default(Order(order)).insert(b.build()).set_props(
-            Props(func=Func.Draw(Style(fill=Fill.Solid(Color(0.55, 0.75, 0.5, 0.85)))))
+        yield ("blob", (cx[i] + r[i], cy[i]), segs, Color(0.55, 0.75, 0.5, 0.85))
+
+
+def paris30k(
+    composition: Composition,
+    width: int = 1920,
+    height: int = 1080,
+    paths: int = 30000,
+    seed: int = 30,
+):
+    """Synthesized city-map stress scene with ~`paths` paths.
+
+    Mix: 70% building footprints (quads, small), 20% road segments (long
+    thin quads), 10% park blobs (quadratic-Bezier rounded polygons).
+    """
+    for order, it in enumerate(_paris30k_items(width, height, paths, seed)):
+        color = it[3]
+        if it[0] == "poly":
+            path = _polygon(it[1], it[2])
+        else:
+            sx, sy = it[1]
+            b = PathBuilder().move_to(Point(float(sx), float(sy)))
+            for (cpx, cpy), (ex, ey) in it[2]:
+                b.quad_to(Point(float(cpx), float(cpy)), Point(float(ex), float(ey)))
+            path = b.build()
+        composition.get_mut_or_insert_default(Order(order)).insert(path).set_props(
+            Props(func=Func.Draw(Style(fill=Fill.Solid(color))))
         )
-        order += 1
+
+
+def _srgb8(v: float) -> int:
+    """Linear [0,1] -> sRGB byte (inverse of svg.srgb_to_linear_color)."""
+    v = min(max(float(v), 0.0), 1.0)
+    s = 12.92 * v if v <= 0.0031308 else 1.055 * v ** (1.0 / 2.4) - 0.055
+    return int(round(s * 255.0))
+
+
+def paris30k_svg_text(
+    width: int = 1920, height: int = 1080, paths: int = 30000, seed: int = 30
+) -> str:
+    """The paris30k scene as an SVG document string.
+
+    Parsed back through `demos.svg.Svg`, this exercises the full SVG
+    parser at benchmark scale end to end (reference analog: the svg demo
+    loading paris-30k.svg, `demo/src/demos/svg.rs:870-878`; the asset
+    itself is not distributed — see BASELINE.md).  Colors round-trip
+    linear -> sRGB hex -> linear, so a parsed render differs from the
+    direct scene only by 8-bit color quantization (~1/255)."""
+    out = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" '
+        f'width="{width}" height="{height}">'
+    ]
+    for it in _paris30k_items(width, height, paths, seed):
+        c = it[3]
+        fill = f"#{_srgb8(c.r):02x}{_srgb8(c.g):02x}{_srgb8(c.b):02x}"
+        if it[0] == "poly":
+            xs, ys = it[1], it[2]
+            d = f"M{xs[0]:.6f},{ys[0]:.6f}" + "".join(
+                f"L{x:.6f},{y:.6f}" for x, y in zip(xs[1:], ys[1:])
+            )
+        else:
+            sx, sy = it[1]
+            d = f"M{sx:.6f},{sy:.6f}" + "".join(
+                f"Q{cpx:.6f},{cpy:.6f} {ex:.6f},{ey:.6f}"
+                for (cpx, cpy), (ex, ey) in it[2]
+            )
+        op = f' fill-opacity="{c.a:.6f}"' if c.a != 1.0 else ""
+        out.append(f'<path d="{d}" fill="{fill}"{op}/>')
+    out.append("</svg>")
+    return "\n".join(out)
